@@ -15,8 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full OCR-extraction pipeline over the interleaved
+    text+media corpus derived deterministically from sf0.001 documents.
+
+    documents -> explode spans -> route by kind -> (normalizer || salted
+    mapInPandas OCR) -> union -> merge by offset into per-doc
+    (kind, text, media_ref, order) sequences.
+    """
+    from ocr_suite_spark import datagen
+    from ocr_suite_spark.operators import extract as X
+
+    docs = datagen.interleaved_from_documents(spark, "/root/testdata/sf0.001")
+    return X.extract(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,175 @@
+"""The recognizer kernel: grayscale -> Otsu -> deskew -> segmentation ->
+glyph template matching.
+
+This is the from-scratch, numpy-vectorized stand-in for the reference's
+Tesseract provider (/root/reference src/recognition/provider/tesseract.cpp):
+word-level iteration (RIL_WORD, tesseract.cpp:98-99), per-word bbox +
+confidence (tesseract.cpp:102-106), deterministic output as a pure function
+of pixel content. Expensive state (the template bank) is built once per
+``Recognizer`` instance — per python worker in the Spark UDF, mirroring the
+reference's per-thread Tesseract instance (main.cpp:136-177).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .font import ALPHABET, GLYPH_H, GLYPH_W, TEMPLATES
+from .render import CHAR_GAP, PAPER, SKEW_SET, WORD_GAP, rotate_bilinear, rotate_nn
+
+# word gap is 16px, char gap 4px at SCALE=2; split words at > midpoint
+_WORD_GAP_MIN = (WORD_GAP + CHAR_GAP) // 2
+
+
+@dataclass(frozen=True)
+class WordBox:
+    text: str
+    left: int
+    top: int
+    right: int
+    bottom: int
+    confidence: float  # 0..100, like Tesseract (tesseract.cpp:106)
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Classic Otsu: maximize between-class variance over the 256-bin histogram."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    cum_mean = np.cumsum(hist * np.arange(256))
+    mean_total = cum_mean[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = cum_mean / w0
+        mu1 = (mean_total - cum_mean) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between[~np.isfinite(between)] = -1.0
+    return int(np.argmax(between))
+
+
+def binarize(img: np.ndarray) -> np.ndarray:
+    """Foreground (ink) mask: pixels at or below the Otsu threshold
+    (the argmax bin is the last bin of class 0, hence inclusive)."""
+    return img <= otsu_threshold(img)
+
+
+def estimate_skew(mask: np.ndarray, candidates: tuple[int, ...] = SKEW_SET) -> int:
+    """Projection-profile deskew: the rotation whose row-sum profile has the
+    highest variance is the one that aligns text lines horizontally.
+    Deterministic tie-break: smaller |angle|, then smaller angle."""
+    m = mask.astype(np.uint8)
+    best = (-1.0, 0.0, 0)
+    for ang in candidates:
+        rot = rotate_nn(m, -ang, fill=0)
+        prof = rot.sum(axis=1).astype(np.float64)
+        score = prof.var()
+        key = (score, -abs(ang), -ang)
+        if key > (best[0], best[1], best[2]):
+            best = key
+    return -int(best[2])
+
+
+def _runs(flags: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous True runs as [start, end) index pairs."""
+    idx = np.flatnonzero(flags)
+    if idx.size == 0:
+        return []
+    splits = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[splits + 1]))
+    ends = np.concatenate((idx[splits] + 1, [idx[-1] + 1]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+class Recognizer:
+    """Template-matching recognizer over the shared glyph bank.
+
+    Instantiate once per worker (expensive-init idiom, SURVEY.md F1); then
+    ``recognize`` is a pure function of the image.
+    """
+
+    def __init__(self) -> None:
+        # Normalized template bank for cosine scoring, (n_glyphs, 35).
+        t = TEMPLATES.reshape(len(ALPHABET), -1)
+        self._tmpl = t / np.linalg.norm(t, axis=1, keepdims=True)
+
+    def _match_chars(self, cells: np.ndarray) -> tuple[list[str], np.ndarray]:
+        """cells: (n, 7, 5) mean-ink grids -> (chars, cosine scores)."""
+        flat = cells.reshape(len(cells), -1).astype(np.float32)
+        norms = np.linalg.norm(flat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        scores = (flat / norms) @ self._tmpl.T  # (n, n_glyphs)
+        best = np.argmax(scores, axis=1)
+        return [ALPHABET[i] for i in best], scores[np.arange(len(best)), best]
+
+    @staticmethod
+    def _downsample(cell: np.ndarray) -> np.ndarray:
+        """Tight-crop a char cell and mean-pool it onto the 7x5 glyph grid.
+
+        Aspect-preserving: glyph cells are square, so the pixel-per-cell unit
+        comes from the crop *height* (all glyphs are full 7 rows tall); a
+        narrower glyph (e.g. 'i', 3 units wide) is centered in the 5-wide
+        grid instead of being stretched — stretching erases the width cue
+        that distinguishes 'i' from 't'.
+        """
+        ys = np.flatnonzero(cell.any(axis=1))
+        xs = np.flatnonzero(cell.any(axis=0))
+        if ys.size == 0 or xs.size == 0:
+            return np.zeros((GLYPH_H, GLYPH_W), dtype=np.float32)
+        c = cell[ys[0] : ys[-1] + 1, xs[0] : xs[-1] + 1].astype(np.float32)
+        h, w = c.shape
+        unit = h / GLYPH_H
+        gw = int(np.clip(np.rint(w / unit), 1, GLYPH_W))
+        yb = np.minimum((np.arange(h) * GLYPH_H) // h, GLYPH_H - 1)
+        xb = np.minimum((np.arange(w) * gw) // w, gw - 1)
+        grid = np.zeros((GLYPH_H, gw), dtype=np.float32)
+        cnt = np.zeros((GLYPH_H, gw), dtype=np.float32)
+        np.add.at(grid, (yb[:, None], xb[None, :].repeat(h, axis=0)), c)
+        np.add.at(cnt, (yb[:, None], xb[None, :].repeat(h, axis=0)), 1.0)
+        cnt[cnt == 0] = 1.0
+        out = np.zeros((GLYPH_H, GLYPH_W), dtype=np.float32)
+        off = (GLYPH_W - gw) // 2
+        out[:, off : off + gw] = grid / cnt
+        return out
+
+    def recognize(self, img: np.ndarray) -> list[WordBox]:
+        """Full pipeline on a grayscale image -> word boxes in reading order."""
+        mask = binarize(img)
+        angle = estimate_skew(mask)
+        if angle != 0:
+            # Deskew the grayscale with bilinear resampling (smooths the
+            # staircase the forward NN rotation introduced), then re-binarize.
+            level = rotate_bilinear(img, -angle, fill=PAPER)
+            mask = binarize(np.clip(np.rint(level), 0, 255).astype(np.uint8))
+
+        words: list[WordBox] = []
+        for y0, y1 in _runs(mask.any(axis=1)):  # text lines
+            line = mask[y0:y1]
+            col_runs = _runs(line.any(axis=0))  # connected char components
+            if not col_runs:
+                continue
+            # group char runs into words by gap width
+            groups: list[list[tuple[int, int]]] = [[col_runs[0]]]
+            for prev, cur in zip(col_runs, col_runs[1:]):
+                if cur[0] - prev[1] >= _WORD_GAP_MIN:
+                    groups.append([cur])
+                else:
+                    groups[-1].append(cur)
+            for grp in groups:
+                cells = np.stack(
+                    [self._downsample(line[:, a:b]) for a, b in grp]
+                )
+                chars, scores = self._match_chars(cells)
+                conf = float(np.clip(scores.min(), 0.0, 1.0) * 100.0)
+                words.append(
+                    WordBox(
+                        text="".join(chars),
+                        left=int(grp[0][0]),
+                        top=int(y0),
+                        right=int(grp[-1][1]),
+                        bottom=int(y1),
+                        confidence=round(conf, 2),
+                    )
+                )
+        return words

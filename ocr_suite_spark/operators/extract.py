@@ -1,0 +1,183 @@
+"""The flagship extraction pipeline.
+
+Reference lifecycle being re-expressed (/root/reference, SURVEY.md §3.1):
+decode frames -> bounded queue -> OCR threads -> per-frame store, i.e.
+
+    documents --explode--> spans --route by kind-->
+        text path  : boilerplate-strip normalizer (pure Column exprs)
+        media path : salt -> repartition -> mapInPandas OCR (Arrow batches,
+                     per-worker recognizer init = reference's per-thread
+                     Tesseract instance, main.cpp:136-177)
+    --union--> flat extracted spans --groupBy(doc_id) + sort by offset-->
+    merged (kind, text, media_ref, order) sequences.
+
+Scale notes:
+- The only shuffles are the explicit media-path salt repartition (skew
+  defense; reference analog: LPT balancing, search.cpp:117-163) and the
+  final groupBy(doc_id) merge. Catalyst cannot push filters through
+  mapInPandas, so the kind=='media' filter is authored *upstream* of the UDF.
+- No per-row Python UDFs; the recognizer runs per Arrow batch with numpy
+  kernels, and text spans never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import MIN_TOKEN_LEN
+
+_FLAT_SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
+_WORDS_SCHEMA = (
+    "doc_id string, order int, media_ref string, word string, "
+    "left int, top int, right int, bottom int, confidence float"
+)
+
+
+def normalize_text_col(c: Column) -> Column:
+    """Column-expression twin of kernels.textnorm.normalize_text.
+
+    trim -> whitespace split -> drop tokens shorter than MIN_TOKEN_LEN ->
+    re-join. Mirrors /root/reference util.h:13-26 + tesseract.cpp:113-115.
+    """
+    toks = F.filter(
+        F.split(F.trim(c), r"\s+"), lambda t: F.length(t) >= MIN_TOKEN_LEN
+    )
+    return F.array_join(toks, " ")
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def _ocr_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas fn: (doc_id, offset, media_ref) -> + recognized text.
+
+    Iterator-init idiom: the recognizer (template bank) is built once per
+    python worker, then streams Arrow batches — the canonical expensive-init
+    vectorized UDF pattern (SURVEY.md F1).
+    """
+    from ..kernels import render, textnorm
+    from ..kernels.ocr import Recognizer
+
+    eng = Recognizer()
+    memo: dict[str, str] = {}
+    for pdf in batches:
+        texts = []
+        for ref in pdf["media_ref"]:
+            t = memo.get(ref)
+            if t is None:
+                img = render.decode_image(render.resolve_media(ref))
+                t = textnorm.ocr_words_to_text([w.text for w in eng.recognize(img)])
+                if len(memo) > 65536:
+                    memo.clear()
+                memo[ref] = t
+            texts.append(t)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "order": pdf["offset"],
+                "kind": "media",
+                "text": texts,
+                "media_ref": pdf["media_ref"],
+            }
+        )
+
+
+def _ocr_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Word-level variant: one output row per recognized word with bbox +
+    confidence (reference text_entry, ocr_result.h:14-18)."""
+    from ..kernels import render
+    from ..kernels.ocr import Recognizer
+
+    eng = Recognizer()
+    for pdf in batches:
+        rows = []
+        for doc_id, offset, ref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+            img = render.decode_image(render.resolve_media(ref))
+            for w in eng.recognize(img):
+                if len(w.text.strip()) < MIN_TOKEN_LEN:
+                    continue  # provider min-length filter, tesseract.cpp:113-115
+                rows.append(
+                    (doc_id, offset, ref, w.text, w.left, w.top, w.right, w.bottom, w.confidence)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "order", "media_ref", "word",
+                "left", "top", "right", "bottom", "confidence",
+            ],
+        )
+
+
+def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
+    """Explicit skew defense: spread media spans of hot documents across
+    partitions by salting on (doc_id, offset) before the expensive UDF.
+
+    A media-heavy document (many spans, big images) otherwise pins one
+    partition — the 100TB analog of the reference's largest-video problem.
+    """
+    spark = media.sparkSession
+    n = salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salt = F.pmod(F.xxhash64("doc_id", "offset"), F.lit(n * 4))
+    return media.withColumn("_salt", salt).repartition(n, "_salt").drop("_salt")
+
+
+def extract_flat(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """documents -> flat extracted spans (doc_id, order, kind, text, media_ref)."""
+    ex = explode_spans(documents)
+    text_out = ex.where(F.col("kind") == "text").select(
+        "doc_id",
+        F.col("offset").alias("order"),
+        F.lit("text").alias("kind"),
+        normalize_text_col(F.col("text")).alias("text"),
+        F.col("media_ref"),
+    )
+    media_in = ex.where(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
+    media_out = _salted(media_in, salt_partitions).mapInPandas(
+        _ocr_text_batches, schema=_FLAT_SCHEMA
+    )
+    return text_out.unionByName(media_out)
+
+
+def merge_spans(flat: DataFrame) -> DataFrame:
+    """Re-merge extracted spans into per-document ordered sequences —
+    the graft's span-sequence invariant (kind, text, media_ref, order).
+
+    Reference analog: OCR results keyed by frame_number flow back into the
+    per-video store preserving sequence (ocr.cpp:73-76 -> database.cpp:85-98).
+    """
+    by_offset = F.struct(
+        F.col("order"), F.col("kind"), F.col("text"), F.col("media_ref")
+    )
+    return flat.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(by_offset)),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].alias("order"),
+            ),
+        ).alias("spans")
+    )
+
+
+def extract(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """Full pipeline: documents -> merged (kind, text, media_ref, order) sequences."""
+    return merge_spans(extract_flat(documents, salt_partitions))
+
+
+def extract_words(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """Word-level OCR output with bboxes (reference ocr_result entries)."""
+    ex = explode_spans(documents)
+    media_in = ex.where(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
+    return _salted(media_in, salt_partitions).mapInPandas(
+        _ocr_words_batches, schema=_WORDS_SCHEMA
+    )

@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests: Spark extraction vs the pandas oracle.
+
+The BASELINE.json per-row invariant: span-sequence equality
+(kind, text, media_ref, order) per document.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_suite_spark import datagen
+from ocr_suite_spark.operators import extract as X
+from ocr_suite_spark.oracle import extract_pandas
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = datagen.interleaved_from_documents(spark, sf_dir).cache()
+    d.count()
+    return d
+
+
+def _spark_sequences(merged_df) -> dict[str, list[tuple]]:
+    rows = merged_df.collect()
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in rows
+    }
+
+
+def test_datagen_shape(docs):
+    assert docs.columns == ["doc_id", "spans"]
+    names = [f.name for f in docs.schema["spans"].dataType.elementType.fields]
+    assert names == ["kind", "text", "media_ref", "offset"]
+    n = docs.count()
+    assert n == 500  # sf0.001 documents rows
+    kinds = (
+        docs.select(F.explode("spans").alias("s"))
+        .groupBy("s.kind")
+        .count()
+        .collect()
+    )
+    by_kind = {r["kind"]: r["count"] for r in kinds}
+    assert by_kind.get("text", 0) > 0 and by_kind.get("media", 0) > 0
+
+
+def test_datagen_deterministic(spark, sf_dir, docs):
+    again = datagen.interleaved_from_documents(spark, sf_dir)
+    a = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    b = {r["doc_id"]: r["spans"] for r in again.collect()}
+    assert a == b
+
+
+def test_flagship_matches_pandas_oracle(spark, docs):
+    # Spark pipeline (8 threads, salted, Arrow-batched)
+    got = _spark_sequences(X.extract(docs))
+    # pure-pandas oracle on the same input
+    want = extract_pandas(docs.toPandas())
+    assert set(got) == set(want)
+    mismatches = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+    assert not mismatches, list(mismatches.items())[:3]
+
+
+def test_media_spans_recognized_nonempty(docs):
+    flat = X.extract_flat(docs)
+    media = flat.where(F.col("kind") == "media")
+    n_media = media.count()
+    n_empty = media.where(F.length("text") == 0).count()
+    assert n_media > 0
+    assert n_empty == 0  # every synthetic image recognizes to its payload
+
+
+def test_normalizer_column_matches_python(spark, sf_dir):
+    from ocr_suite_spark.kernels.textnorm import normalize_text
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    got = raw.select("text", X.normalize_text_col(F.col("text")).alias("norm")).collect()
+    for r in got:
+        assert r["norm"] == normalize_text(r["text"])
+    # edge cases through a literal DataFrame
+    edge = spark.createDataFrame(
+        [("",), ("  ",), (" ab  x ",), ("abc  de fgh  ",)], "text string"
+    )
+    for r in edge.select("text", X.normalize_text_col(F.col("text")).alias("n")).collect():
+        assert r["n"] == normalize_text(r["text"])
+
+
+def test_extract_words_have_boxes(docs):
+    words = X.extract_words(docs.limit(20))
+    rows = words.collect()
+    assert rows
+    for r in rows[:50]:
+        assert len(r["word"]) >= 3
+        assert r["left"] < r["right"] and r["top"] < r["bottom"]
+        assert 0.0 <= r["confidence"] <= 100.0
+
+
+def test_count_stable_across_parallelism(docs):
+    """Reference value_queue invariant (test/src/value_queue.cpp): produced ==
+    consumed regardless of scheduling — here: results identical across
+    repartitionings."""
+    a = X.extract_flat(docs).count()
+    b = X.extract_flat(docs.repartition(17)).count()
+    assert a == b

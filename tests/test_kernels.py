@@ -1,0 +1,102 @@
+"""Kernel-level tests: render/recognize roundtrip, Otsu, normalizer.
+
+These mirror the correctness properties the reference's OCR path implies
+(word order, trim + min-length filtering, determinism of OCR on pixel
+content) — the golden layer the reference itself lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_suite_spark.kernels import render
+from ocr_suite_spark.kernels.font import ALPHABET, GLYPHS
+from ocr_suite_spark.kernels.ocr import Recognizer, binarize, estimate_skew, otsu_threshold
+from ocr_suite_spark.kernels.textnorm import normalize_text, ocr_words_to_text
+
+
+def test_glyphs_have_no_interior_empty_columns():
+    # segmentation relies on connected char components
+    for ch, g in GLYPHS.items():
+        cols = g.any(axis=0)
+        nz = np.flatnonzero(cols)
+        assert cols[nz[0] : nz[-1] + 1].all(), ch
+
+
+def test_glyphs_full_height():
+    for ch, g in GLYPHS.items():
+        assert g[0].any() and g[-1].any(), ch
+
+
+@pytest.mark.parametrize("skew", render.SKEW_SET)
+def test_roundtrip_all_skews(skew):
+    eng = Recognizer()
+    words = ["the", "quick", "brown", "fox", "ilj"]
+    for noise in (0, 7, 999999):
+        img = render.render_image(words, skew, noise)
+        got = [w.text for w in eng.recognize(img)]
+        assert got == words, (skew, noise, got)
+
+
+def test_roundtrip_every_letter():
+    eng = Recognizer()
+    words = ["".join(ALPHABET[:13]), "".join(ALPHABET[13:])]
+    for skew in (-6, 0, 6):
+        img = render.render_image(words, skew, 42)
+        got = [w.text for w in eng.recognize(img)]
+        assert got == words
+
+
+def test_recognize_is_deterministic():
+    eng1, eng2 = Recognizer(), Recognizer()
+    img = render.render_image(["merge", "scan"], 4, 17)
+    r1 = eng1.recognize(img)
+    r2 = eng2.recognize(img)
+    assert r1 == r2
+
+
+def test_word_boxes_reading_order_and_confidence():
+    eng = Recognizer()
+    img = render.render_image(["alpha", "bravo"], 0, 3)
+    boxes = eng.recognize(img)
+    assert [b.text for b in boxes] == ["alpha", "bravo"]
+    assert boxes[0].left < boxes[1].left  # reading order
+    for b in boxes:
+        assert b.left < b.right and b.top < b.bottom
+        assert 0.0 <= b.confidence <= 100.0
+
+
+def test_otsu_separates_bimodal():
+    img = np.full((20, 20), 220, dtype=np.uint8)
+    img[5:15, 5:15] = 30
+    t = otsu_threshold(img)
+    assert 30 <= t < 220
+    assert binarize(img).sum() == 100
+
+
+def test_estimate_skew_exact():
+    for skew in render.SKEW_SET:
+        img = render.render_image(["whiskey", "tango"], skew, 11)
+        assert estimate_skew(binarize(img)) == skew
+
+
+def test_media_ref_roundtrip():
+    ref = render.make_media_ref(["foo", "bar"], -4, 123)
+    assert render.parse_media_ref(ref) == (["foo", "bar"], -4, 123)
+    img = render.decode_image(render.resolve_media(ref))
+    assert img.dtype == np.uint8 and img.ndim == 2
+
+
+def test_decode_rejects_foreign_formats():
+    with pytest.raises(NotImplementedError):
+        render.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_normalize_text():
+    assert normalize_text("  the  quick ox ") == "the quick"
+    assert normalize_text("") == ""
+    assert normalize_text(None) == ""
+    assert normalize_text("ab x y") == ""
+    assert normalize_text("abc") == "abc"
+    assert ocr_words_to_text(["alpha", " x ", "zz", "beta"]) == "alpha beta"
