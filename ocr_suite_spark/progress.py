@@ -1,0 +1,162 @@
+"""Checkpointed, resumable extraction with per-partition lineage + metrics.
+
+Reference semantics being modeled (/root/reference src/common/database.cpp):
+
+- ``metadata.last_processed_frame`` (110-133): a coarse resume watermark —
+  here: per-bucket ``max_offset`` recorded in the progress table.
+- ``is_frame_processed`` (122-133) row idempotence: frames already stored are
+  skipped. Here: bucket-level idempotence via dynamic partition overwrite —
+  a re-run of a bucket replaces its output exactly, never duplicates it.
+- These are *different* mechanisms in the reference (empty-result frames
+  advance the watermark but are not recorded as rows, database.cpp:50-60);
+  we model both: the watermark is metrics metadata, while resume is driven
+  by the done-bucket set (anti-join), so zero-span documents still complete
+  their bucket.
+
+Scale design: resume is a **left anti join** of input buckets against the
+done set (SURVEY.md A3 — THE resume primitive), placed upstream of the
+expensive OCR UDF so pruning happens before any Python work. Buckets are
+``pmod(xxhash64(doc_id), n_buckets)`` — deterministic, independent of
+physical partitioning, and stable across cluster sizes. At 10^12 documents
+you'd raise n_buckets (e.g. 4096) so each bucket is a rewritable unit of
+work; the progress table stays tiny either way.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("n_spans", T.LongType(), True),
+        T.StructField("n_media", T.LongType(), True),
+        T.StructField("max_offset", T.IntegerType(), True),  # watermark analog
+        T.StructField("lineage", T.LongType(), True),  # input fingerprint
+        T.StructField("wall_secs", T.DoubleType(), True),
+        T.StructField("docs_per_sec", T.DoubleType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+
+
+class ProgressStore:
+    """Tiny parquet-backed progress table (the SQLite metadata analog).
+
+    Append-only; the latest row per (run_id, bucket) wins. At cluster scale
+    this would be an Iceberg table with MERGE; parquet-append keeps the same
+    semantics for a single writer (reference is also single-writer per DB,
+    database.h:66 mutex).
+    """
+
+    def __init__(self, spark: SparkSession, ckpt_dir: str):
+        self.spark = spark
+        self.path = f"{ckpt_dir.rstrip('/')}/progress"
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(PROGRESS_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], PROGRESS_SCHEMA)
+
+    def done_buckets(self, run_id: str) -> DataFrame:
+        return (
+            self.read()
+            .where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("bucket")
+            .distinct()
+        )
+
+    def append(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in PROGRESS_SCHEMA.fields) for r in rows],
+            PROGRESS_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+
+def extract_resumable(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    run_id: str = "run-1",
+    n_buckets: int = 32,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Run the extraction pipeline over only the not-yet-done buckets, write
+    results partitioned by bucket (idempotent dynamic overwrite), record
+    progress + lineage + metrics, and return the full output DataFrame.
+
+    A killed run resumes without recomputing finished buckets: the next call
+    anti-joins them away before the OCR UDF ever sees their rows.
+    """
+    from .operators import extract as X
+
+    store = ProgressStore(spark, ckpt_dir)
+    docs = documents.withColumn("bucket", bucket_col(n_buckets))
+    done = store.done_buckets(run_id)
+    pending = docs.join(done, "bucket", "left_anti")
+
+    t0 = time.time()
+    merged = X.extract(pending.drop("bucket"), salt_partitions=salt_partitions)
+    result = merged.withColumn("bucket", bucket_col(n_buckets))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+    wall = time.time() - t0
+
+    # per-bucket metrics + lineage from the *written* output (one extra scan
+    # of the small output, not a recompute of the pipeline)
+    out = spark.read.parquet(out_dir).join(
+        store.done_buckets(run_id), "bucket", "left_anti"
+    )
+    stats = (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(
+                F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media"))
+            ).alias("n_media"),
+            F.max(F.element_at(F.col("spans"), -1)["order"]).alias("max_offset"),
+            # order-independent input fingerprint; XOR (not SUM) so it can't
+            # overflow under ANSI mode
+            F.bit_xor(F.xxhash64("doc_id")).alias("lineage"),
+        )
+        .collect()
+    )
+    now = __import__("datetime").datetime.now(__import__("datetime").timezone.utc).replace(tzinfo=None)
+    total_docs = sum(r["n_docs"] for r in stats) or 1
+    store.append(
+        [
+            {
+                "run_id": run_id,
+                "bucket": r["bucket"],
+                "status": "done",
+                "n_docs": r["n_docs"],
+                "n_spans": r["n_spans"],
+                "n_media": r["n_media"],
+                "max_offset": r["max_offset"],
+                "lineage": r["lineage"],
+                "wall_secs": wall,
+                # speed_meter analog (speed_meter.cpp:49-50): run-level rate;
+                # per-stage split lands in bench.py's stage metrics
+                "docs_per_sec": total_docs / wall if wall > 0 else None,
+                "updated_at": now,
+            }
+            for r in stats
+        ]
+    )
+    return spark.read.parquet(out_dir)
