@@ -30,12 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data pipeline operators). See ocr_suite_spark/queries/."""
+    from ocr_suite_spark import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -45,4 +44,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from ocr_suite_spark import queries as Q
+
+    return Q.oracle_sql()

@@ -1,0 +1,36 @@
+"""Query registry: every operator from SURVEY.md §2 plus the training-data
+pipeline operators, each as (spark_fn, duckdb_oracle_sql | None).
+
+Conventions (needed for the driver's order-insensitive value-hash compare):
+- alias every computed column identically in Spark and SQL;
+- integer outputs cast to BIGINT on both sides;
+- no naive SUM/AVG over doubles — sum via DECIMAL cast then convert to
+  double once (parallel double summation is order-dependent);
+- floors instead of integer casts (DuckDB CAST rounds, Spark truncates);
+- floats that came through different fold orders are floored at fixed
+  precision on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, extraction, relational, similarity, textstats
+
+_MODULES = [relational, dedup, similarity, textstats, extraction]
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+for m in _MODULES:
+    for name, pair in m.QUERIES.items():
+        assert name not in REGISTRY, f"duplicate query {name}"
+        REGISTRY[name] = pair
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,37 @@
+"""Shared helpers for the query registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import MIN_TOKEN_LEN
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of length >= MIN_TOKEN_LEN (the core normalizer,
+    reference tesseract.cpp:113-115). DuckDB twin:
+    list_filter(string_split_regex(trim(text),'\\s+'), x -> length(x) >= 3)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda x: F.length(x) >= MIN_TOKEN_LEN
+    )
+
+
+# DuckDB fragment for the same token list
+DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) >= 3)"
+
+
+def fsec(col: Column) -> Column:
+    """Spark: epoch seconds as BIGINT (floor). DuckDB twin:
+    CAST(FLOOR(epoch(ts)) AS BIGINT)."""
+    return F.unix_timestamp(col)
+
+
+def floor3(col: Column) -> Column:
+    """floor(x*1000)/1000 — fixed-precision floats that survive order-
+    insensitive hashing across engines."""
+    return F.floor(col * 1000) / 1000
