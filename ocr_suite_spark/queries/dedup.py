@@ -1,1 +1,325 @@
-QUERIES = {}
+"""Deduplication operators over the documents/embeddings tables — the
+training-data-pipeline layer (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup), each with a DuckDB oracle.
+
+Cross-engine hashing: everything is keyed on md5 hex strings (identical in
+Spark and DuckDB); min-over-hex-strings == min-over-values because the hex
+length is fixed. No engine-specific hash functions in oracle-checked paths.
+
+Scale notes are in each docstring: shingle explosion is the dominant cost;
+LSH banding turns all-pairs O(n^2) into per-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DUCK_TOKENS, t, tokens_col
+
+N_MINHASH = 8
+N_BANDS = 2  # 4 rows per band
+SHINGLE_K = 3
+
+# DuckDB fragment: ordered 3-token shingles from the normalized token list
+DUCK_SHINGLES = (
+    f"list_transform(generate_series(1, greatest(len({DUCK_TOKENS}) - 2, 0)), "
+    f"i -> {DUCK_TOKENS}[i] || ' ' || {DUCK_TOKENS}[i+1] || ' ' || {DUCK_TOKENS}[i+2])"
+)
+
+
+def shingles_col(text: Column) -> Column:
+    """Ordered 3-token shingles (with multiplicity) of the normalized tokens."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_cols(sh: Column) -> list[Column]:
+    """MinHash signature: per seed s, min over shingles of md5('s|'+shingle).
+    Fixed-length hex strings make lexicographic min == numeric min."""
+    return [
+        F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))).alias(
+            f"mh{s}"
+        )
+        for s in range(N_MINHASH)
+    ]
+
+
+def _duck_minhash(s: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, x -> md5('{s}|' || x))) AS mh{s}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (reference A4: INSERT OR IGNORE dictionary, database.cpp:62-67)
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one group per distinct text, keeper = min id.
+
+    At 10^12 docs this is one shuffle on md5(text) — the cheapest dedup; AQE
+    coalesces the post-shuffle partitions.
+    """
+    docs = t(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+
+
+def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc MinHash signature and the two LSH band keys.
+
+    Scale: signature computation is embarrassingly parallel (no shuffle);
+    the band keys are what the pair-join buckets on.
+    """
+    docs = t(spark, sf, "documents").select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    )
+    sig = docs.where(F.size("sh") > 0).select("doc_id", *_minhash_cols(F.col("sh")))
+    band0 = F.md5(F.concat_ws("", *[F.col(f"mh{i}") for i in range(0, 4)]))
+    band1 = F.md5(F.concat_ws("", *[F.col(f"mh{i}") for i in range(4, 8)]))
+    return sig.select(
+        "doc_id", "mh0", "mh7", band0.alias("band0"), band1.alias("band1")
+    )
+
+
+_DUCK_SIG = f"""
+  SELECT doc_id, {', '.join(_duck_minhash(s) for s in range(N_MINHASH))}
+  FROM (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents)
+  WHERE len(shingles) > 0
+"""
+
+DEDUP_MINHASH_SIG_SQL = f"""
+WITH sig AS ({_DUCK_SIG})
+SELECT doc_id, mh0, mh7,
+       md5(mh0 || mh1 || mh2 || mh3) AS band0,
+       md5(mh4 || mh5 || mh6 || mh7) AS band1
+FROM sig
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band signature.
+
+    Scale: self-join per band key — O(sum over buckets of bucket^2), not
+    O(n^2); hot buckets (boilerplate-heavy corpora) would be AQE-skew-split.
+    """
+    sig = dedup_minhash_signature(spark, sf)
+    bands = sig.select(
+        "doc_id", F.explode(F.array(F.col("band0"), F.col("band1"))).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH sig AS ({_DUCK_SIG}),
+bands AS (
+  SELECT doc_id, unnest([md5(mh0 || mh1 || mh2 || mh3),
+                         md5(mh4 || mh5 || mh6 || mh7)]) AS band
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, token-weighted)
+
+
+def _simhash_bits():
+    hexdig = "89abcdef"  # nibbles with the top bit set
+    return [
+        (j, tuple(hexdig))
+        for j in range(16)
+    ]
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash: bit j is the sign of sum over tokens of +-1 keyed on
+    the top bit of hex digit j of md5(token). One explode + one groupBy."""
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    h = F.md5("tok")
+    sums = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+_DUCK_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s" + str(j)
+    for j in range(16)
+)
+_DUCK_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents),
+agg AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({_DUCK_SIMHASH_FP} AS BIGINT) AS simhash FROM agg
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity on candidate pairs
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Jaccard over distinct 3-gram shingle sets, restricted to
+    same-lang pairs sharing at least one shingle.
+
+    Scale: the shingle equi-join IS the candidate generator (inverted
+    index); all-pairs never materializes. Jaccard from |A∩B| and set sizes.
+    """
+    docs = t(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.floor(
+                    F.col("n_common")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+                    * 1000
+                )
+                / 1000
+            ).alias("jaccard3"),
+        )
+    )
+    return j
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       FLOOR(n_common / (sa.sz + sb.sz - n_common) * 1000) / 1000 AS jaccard3
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates (same-label blocking)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in float64 — same summation order as
+    DuckDB's list_dot_product loop, so results are bit-comparable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= 0.5 within the same label.
+
+    Scale: label is the blocking key (same role as the LSH band); within a
+    block the pair join is quadratic, so real corpora block on coarse ANN
+    buckets first (see ann_lsh_bucket).
+    """
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _cos(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.floor(cos * 1000) / 1000).alias("cos3"),
+        )
+        .where(F.col("cos3") >= 0.5)
+    )
+
+
+DEDUP_EMB_COS_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       FLOOR(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+             * 1000) / 1000 AS cos3
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE FLOOR(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+            * 1000) / 1000 >= 0.5
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signature": (dedup_minhash_signature, DEDUP_MINHASH_SIG_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
+}

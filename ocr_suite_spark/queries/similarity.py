@@ -1,1 +1,161 @@
-QUERIES = {}
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: the correctness baseline;
+- LSH-bucketed variant (sign bits of leading dims = deterministic random-
+  hyperplane stand-in): the scale path — candidate set shrinks from n to
+  bucket size, the join key becomes the bucket id.
+
+Dot products fold sequentially in float64 on both engines (Spark
+F.aggregate vs DuckDB list_dot_product), scores surfaced at fixed 3-decimal
+precision so cross-engine last-bit drift can't flip the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import t
+from .dedup import _cos
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+N_SIGN_BITS = 8
+
+
+def _scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).alias("q")
+    c = emb.alias("c")
+    cos = _cos(F.col("q.e"), F.col("c.e"))
+    return (
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.floor(cos * 1000) / 1000).alias("cos3"),
+        )
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Scale: broadcast the (tiny) query set against the full corpus — one
+    scan, no shuffle of the big side; per-query top-k via window on the
+    (queries x corpus) scores, which AQE keeps partition-local per query.
+    """
+    scored = _scored_pairs(spark, sf)
+    w = W.partitionBy("query_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos3")
+    )
+
+
+_DUCK_COS = (
+    "FLOOR(list_dot_product(q.emb, c.emb) / "
+    "(sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) "
+    "* 1000) / 1000"
+)
+
+ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos3
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rnk, cos3
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos3 DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+"""
+
+
+def _bucket_col(e: Column) -> Column:
+    """Deterministic LSH bucket: sign bits of the first N dims (axis-aligned
+    hyperplanes — a seeded random rotation would replace this at scale)."""
+    bucket = F.lit(0)
+    for i in range(N_SIGN_BITS):
+        bucket = bucket + F.when(F.element_at(e, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def ann_lsh_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket occupancy — the data you'd use to pick bits-per-table."""
+    emb = t(spark, sf, "embeddings")
+    return (
+        emb.select(_bucket_col(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIGN_BITS)
+)
+
+ANN_LSH_HIST_SQL = f"""
+SELECT CAST({_DUCK_BUCKET} AS BIGINT) AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k: search only the query's own LSH bucket.
+
+    Scale: the bucket id is the equi-join key — the all-pairs cross join
+    becomes a co-partitioned hash join; recall is traded via bits/tables.
+    """
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).alias("q")
+    c = emb.alias("c")
+    cos = _cos(F.col("q.e"), F.col("c.e"))
+    scored = (
+        q.join(c, (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.floor(cos * 1000) / 1000).alias("cos3"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos3")
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         CAST({_DUCK_BUCKET} AS BIGINT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos3
+  FROM e q JOIN e c ON q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rnk, cos3
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos3 DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
+    "ann_lsh_histogram": (ann_lsh_histogram, ANN_LSH_HIST_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
+}

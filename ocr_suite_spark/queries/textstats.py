@@ -1,1 +1,179 @@
-QUERIES = {}
+"""Text-analysis operators for the training-data pipeline: language-ID
+(stopword heuristic), quality scoring, token counting, and rolling-hash
+document fingerprinting (winnowing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import DUCK_TOKENS, t, tokens_col
+from .dedup import shingles_col, DUCK_SHINGLES
+
+STOPWORDS = {
+    "en": ("the", "and", "with", "for"),
+    "es": ("los", "las", "por", "con"),
+    "de": ("der", "und", "mit", "von"),
+}
+
+WINNOW_W = 4  # fingerprint window (consecutive shingle hashes)
+
+
+def lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based language ID: stopword-hit counts per language, argmax with
+    a fixed tie-break order (en > es > de). Pure Column expressions."""
+    docs = t(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+        for lang, words in STOPWORDS.items()
+    }
+    se, ss, sd = scores["en"], scores["es"], scores["de"]
+    pred = (
+        F.when((se >= ss) & (se >= sd), F.lit("en"))
+        .when(ss >= sd, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        se.alias("score_en"),
+        ss.alias("score_es"),
+        sd.alias("score_de"),
+    )
+
+
+def _duck_score(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({DUCK_TOKENS}, x -> x IN ({inlist}))) AS BIGINT)"
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_duck_score(STOPWORDS['en'])} >= {_duck_score(STOPWORDS['es'])}
+             AND {_duck_score(STOPWORDS['en'])} >= {_duck_score(STOPWORDS['de'])} THEN 'en'
+            WHEN {_duck_score(STOPWORDS['es'])} >= {_duck_score(STOPWORDS['de'])} THEN 'es'
+            ELSE 'de' END AS pred_lang,
+       {_duck_score(STOPWORDS['en'])} AS score_en,
+       {_duck_score(STOPWORDS['es'])} AS score_es,
+       {_duck_score(STOPWORDS['de'])} AS score_de
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality: kept-token ratio, length saturation,
+    stopword ratio — combined and floored at 3 decimals."""
+    docs = t(spark, sf, "documents")
+    all_toks = F.split(F.trim("text"), r"\s+")
+    kept = tokens_col(F.col("text"))
+    stop_all = tuple(w for ws in STOPWORDS.values() for w in ws)
+    n_all = F.size(all_toks).cast("long")
+    n_kept = F.size(kept).cast("long")
+    n_stop = F.size(F.filter(all_toks, lambda x: x.isin(*stop_all))).cast("long")
+    kept_ratio = n_kept / n_all
+    len_sat = F.least(n_all / F.lit(100.0), F.lit(1.0))
+    stop_ratio = n_stop / n_all
+    q = 0.5 * kept_ratio + 0.3 * len_sat + 0.2 * (1 - stop_ratio)
+    f3 = lambda c: F.floor(c * 1000) / 1000
+    return docs.select(
+        "doc_id",
+        n_all.alias("n_tokens"),
+        n_kept.alias("n_kept"),
+        f3(kept_ratio).alias("kept_ratio3"),
+        f3(stop_ratio).alias("stop_ratio3"),
+        f3(q).alias("quality3"),
+    )
+
+
+_STOP_ALL = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+
+QUALITY_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_kept,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x IN ({_STOP_ALL}))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_kept,
+       FLOOR(n_kept / n_tokens * 1000) / 1000 AS kept_ratio3,
+       FLOOR(n_stop / n_tokens * 1000) / 1000 AS stop_ratio3,
+       FLOOR((0.5 * (n_kept / n_tokens)
+            + 0.3 * least(n_tokens / 100.0, 1.0)
+            + 0.2 * (1 - n_stop / n_tokens)) * 1000) / 1000 AS quality3
+FROM s
+"""
+
+
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex matches, and
+    a BPE-ish greedy <=4-char chunking — all JVM-side regex, no UDFs."""
+    docs = t(spark, sf, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        words.alias("n_word_tokens"),
+        bpe.alias("n_bpe_chunks"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_chunks
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints: md5 the ordered 3-gram shingles, take the min
+    hash of each sliding window of 4, dedupe — count + global min as the
+    stable summary (the full set is what a plagiarism index would store)."""
+    docs = t(spark, sf, "documents")
+    hashes = F.transform(shingles_col(F.col("text")), lambda x: F.md5(x))
+    wins = F.when(
+        F.size(hashes) >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(0), F.size(hashes) - WINNOW_W),
+            lambda i: F.array_min(F.slice(hashes, i + 1, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = F.array_distinct(wins)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fingerprint"),
+    )
+
+
+DOC_FP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, list_transform({DUCK_SHINGLES}, x -> md5(x)) AS hs FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 0)),
+           i -> list_min(hs[i:i+{WINNOW_W - 1}])
+         )) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS min_fingerprint
+FROM w
+"""
+
+
+QUERIES = {
+    "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
+}
