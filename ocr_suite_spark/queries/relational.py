@@ -456,27 +456,31 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(charge).alias("_sc"),
         F.count("*").alias("count_order"),
     )
+    # floor at 2 decimals after the double conversion: decimal->double
+    # conversion can differ by 1 ulp between engines (correctly-rounded
+    # BigDecimal.doubleValue vs hugeint/10^s division); flooring collapses it
+    f2 = lambda c: F.floor(c.cast("double") * 100) / 100
     return g.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("_sq").cast("double").alias("sum_qty"),
-        F.col("_sbp").cast("double").alias("sum_base_price"),
-        F.col("_sdp").cast("double").alias("sum_disc_price"),
-        F.col("_sc").cast("double").alias("sum_charge"),
-        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        f2(F.col("_sq")).alias("sum_qty"),
+        f2(F.col("_sbp")).alias("sum_base_price"),
+        f2(F.col("_sdp")).alias("sum_disc_price"),
+        f2(F.col("_sc")).alias("sum_charge"),
+        f2(F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        f2(F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
         "count_order",
     )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(9,4)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) * 100) / 100 AS sum_qty,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) * 100) / 100 AS sum_base_price,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) * 100) / 100 AS sum_disc_price,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(9,4)))) AS DOUBLE) * 100) / 100 AS sum_charge,
+       FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_qty,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -500,7 +504,7 @@ def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(rev).alias("_rev")
     )
     return (
-        g.select("l_orderkey", F.col("_rev").cast("double").alias("revenue"), "orderdate")
+        g.select("l_orderkey", (F.floor(F.col("_rev").cast("double") * 100) / 100).alias("revenue"), "orderdate")
         .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -508,7 +512,7 @@ def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) * 100) / 100 AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
