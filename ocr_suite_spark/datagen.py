@@ -108,13 +108,50 @@ def _spans_expr(doc_id: Column, text: Column) -> Column:
 
 
 def interleaved_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the interleaved corpus from testdata documents.parquet."""
+    """Derive the interleaved corpus from testdata documents.parquet.
+
+    The tiny testdata parquet arrives as a single split; repartition BEFORE
+    the span-construction expressions so the whole downstream plan (datagen,
+    text normalizer, OCR routing) parallelizes. At real scale the source
+    table arrives pre-split and this shuffle disappears.
+    """
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        raw = raw.repartition(spark.sparkContext.defaultParallelism)
     doc_id = F.col("doc_id").cast("string")
     return raw.select(
         doc_id.alias("doc_id"),
         _spans_expr(doc_id, F.col("text")).alias("spans"),
     )
+
+
+def materialized_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_root: str = "/tmp/ocs_corpus",
+    n_synth: int | None = None,
+) -> DataFrame:
+    """Materialize the interleaved corpus as a parquet table and read it back.
+
+    The north-rule input is an Iceberg *table* of interleaved documents, not
+    a recomputed expression — materializing once (a) matches that contract,
+    (b) stops Spark from re-deriving the corpus in both union branches of the
+    extract plan (common subplans are not shared), and (c) keeps corpus prep
+    out of extraction throughput numbers. Idempotent per (sf_dir | n_synth).
+    """
+    import os
+
+    key = f"synth{n_synth}" if n_synth else sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{cache_root}/{key}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        df = (
+            synthesize(spark, n_synth)
+            if n_synth
+            else interleaved_from_documents(spark, sf_dir)
+        )
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def synthesize(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:

@@ -62,17 +62,20 @@ def rotate_nn(img: np.ndarray, deg: float, fill: int | float = PAPER) -> np.ndar
         return img.copy()
     h, w = img.shape
     theta = np.deg2rad(deg)
-    cos_t, sin_t = np.cos(theta), np.sin(theta)
+    cos_t, sin_t = np.float64(np.cos(theta)), np.float64(np.sin(theta))
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    # inverse rotation: source coords for each dest pixel
-    xs = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
-    ys = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
-    xi = np.rint(xs).astype(np.int64)
-    yi = np.rint(ys).astype(np.int64)
+    # broadcasted inverse-rotation source coords (float64 for stable rint,
+    # int32 indices, no meshgrid materialization — these temporaries dominate
+    # memory traffic when 32 workers render concurrently)
+    xx = np.arange(w, dtype=np.float64)[None, :] - cx
+    yy = np.arange(h, dtype=np.float64)[:, None] - cy
+    xi = np.rint(cos_t * xx + sin_t * yy + cx).astype(np.int32)
+    yi = np.rint(-sin_t * xx + cos_t * yy + cy).astype(np.int32)
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    out = np.full((h, w), fill, dtype=img.dtype)
-    out[valid] = img[yi[valid], xi[valid]]
+    np.clip(xi, 0, w - 1, out=xi)
+    np.clip(yi, 0, h - 1, out=yi)
+    out = img[yi, xi]
+    out[~valid] = fill
     return out
 
 
@@ -84,33 +87,37 @@ def rotate_bilinear(img: np.ndarray, deg: float, fill: float) -> np.ndarray:
     shapes survive the rotate/unrotate round trip.
     """
     if deg == 0:
-        return img.astype(np.float64)
+        return img.astype(np.float32)
     h, w = img.shape
     theta = np.deg2rad(deg)
-    cos_t, sin_t = np.cos(theta), np.sin(theta)
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    xs = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
-    ys = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
-    x0 = np.floor(xs).astype(np.int64)
-    y0 = np.floor(ys).astype(np.int64)
+    cos_t, sin_t = np.float32(np.cos(theta)), np.float32(np.sin(theta))
+    cy, cx = np.float32((h - 1) / 2.0), np.float32((w - 1) / 2.0)
+    # broadcasted source coords (no meshgrid materialization)
+    xx = np.arange(w, dtype=np.float32)[None, :] - cx
+    yy = np.arange(h, dtype=np.float32)[:, None] - cy
+    xs = cos_t * xx + sin_t * yy + cx
+    ys = -sin_t * xx + cos_t * yy + cy
+    x0 = np.floor(xs).astype(np.int32)
+    y0 = np.floor(ys).astype(np.int32)
     fx = xs - x0
     fy = ys - y0
-    imgf = img.astype(np.float64)
+    # clamp-to-edge gather, then overwrite fully-outside pixels with fill
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    imgf = img.astype(np.float32)
+    top = imgf[y0c, x0c] * (1 - fx) + imgf[y0c, x1c] * fx
+    bot = imgf[y1c, x0c] * (1 - fx) + imgf[y1c, x1c] * fx
+    out = top * (1 - fy) + bot * fy
+    outside = (xs < 0) | (xs > w - 1) | (ys < 0) | (ys > h - 1)
+    out[outside] = np.float32(fill)
+    return out
 
-    def sample(yi: np.ndarray, xi: np.ndarray) -> np.ndarray:
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        out = np.full(yi.shape, float(fill))
-        out[valid] = imgf[yi[valid], xi[valid]]
-        return out
 
-    v00 = sample(y0, x0)
-    v01 = sample(y0, x0 + 1)
-    v10 = sample(y0 + 1, x0)
-    v11 = sample(y0 + 1, x0 + 1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+_SCALED_GLYPHS: dict[str, np.ndarray] = {
+    ch: np.kron(g, np.ones((SCALE, SCALE), dtype=bool)) for ch, g in GLYPHS.items()
+}
 
 
 def _draw_words(words: list[str]) -> np.ndarray:
@@ -124,8 +131,7 @@ def _draw_words(words: list[str]) -> np.ndarray:
     for w, wd in zip(words, widths):
         cx = x
         for ch in w:
-            g = np.kron(GLYPHS[ch], np.ones((SCALE, SCALE), dtype=bool))
-            mask[:, cx : cx + char_w] |= g
+            mask[:, cx : cx + char_w] = _SCALED_GLYPHS[ch]
             cx += char_w + CHAR_GAP
         x += wd + WORD_GAP
     return mask
@@ -136,18 +142,20 @@ def render_image(words: list[str], skew: int, noise: int) -> np.ndarray:
     `skew` degrees, with seeded background noise."""
     ink = _draw_words(words)
     h, w = ink.shape
-    # Margins sized so rotation never clips ink: displacement <= r * tan(|deg|).
-    max_t = np.tan(np.deg2rad(max(abs(s) for s in SKEW_SET)))
-    pad_y = int(np.ceil(w / 2 * max_t)) + 4
-    pad_x = int(np.ceil(h / 2 * max_t)) + 4
+    # Margins sized so THIS skew never clips ink: displacement <= r * tan(|deg|).
+    tan_s = np.tan(np.deg2rad(abs(skew)))
+    pad_y = int(np.ceil(w / 2 * tan_s)) + 4
+    pad_x = int(np.ceil(h / 2 * tan_s)) + 4
     canvas = np.full((h + 2 * pad_y, w + 2 * pad_x), PAPER, dtype=np.uint8)
     canvas[pad_y : pad_y + h, pad_x : pad_x + w][ink] = INK
     canvas = rotate_nn(canvas, skew, fill=PAPER)
     rng = np.random.RandomState(noise % (2**31))  # legacy RandomState: frozen algorithm
-    jitter = rng.randint(-NOISE_AMP, NOISE_AMP + 1, size=canvas.shape)
-    noisy = canvas.astype(np.int32)
-    noisy[canvas == PAPER] += jitter[canvas == PAPER]
-    return np.clip(noisy, 0, 255).astype(np.uint8)
+    # int16 throughout: these full-canvas temporaries dominate memory traffic
+    # when 32 workers render concurrently (PAPER+NOISE_AMP < 255, no clip needed)
+    jitter = rng.randint(-NOISE_AMP, NOISE_AMP + 1, size=canvas.shape, dtype=np.int16)
+    noisy = canvas.astype(np.int16)
+    np.add(noisy, jitter, out=noisy, where=(canvas == PAPER))
+    return noisy.astype(np.uint8)
 
 
 def encode_image(img: np.ndarray) -> bytes:

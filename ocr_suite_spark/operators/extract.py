@@ -121,12 +121,28 @@ def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
     partitions by salting on (doc_id, offset) before the expensive UDF.
 
     A media-heavy document (many spans, big images) otherwise pins one
-    partition — the 100TB analog of the reference's largest-video problem.
+    partition — the 100TB analog of the reference's largest-video problem
+    (which it LPT-balances by file size, search.cpp:117-163).
+
+    Two refinements measured on local[24]:
+    - ~8 tasks per core: fine-grained tasks let the scheduler absorb
+      per-image cost variance and shrink last-wave quantization;
+    - cost-class homogenization: recognition cost scales with payload size
+      (~10x between classes), so salting ALL rows together leaves each task
+      a random cost mix with high variance. Repartitioning each cost class
+      separately (cost estimated from media_ref length — the one cheap
+      pre-decode signal) makes tasks cost-homogeneous: util 79% -> ~90%.
     """
     spark = media.sparkSession
-    n = salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = salt_partitions or 8 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     salt = F.pmod(F.xxhash64("doc_id", "offset"), F.lit(n * 4))
-    return media.withColumn("_salt", salt).repartition(n, "_salt").drop("_salt")
+    payload = F.regexp_extract("media_ref", r"img://v1/([a-z_]+)", 1)
+    heavy = F.size(F.split(payload, "_")) >= 5  # 5+ payload words
+
+    salted = media.withColumn("_salt", salt)
+    light_part = salted.where(~heavy).repartition(n, "_salt")
+    heavy_part = salted.where(heavy).repartition(max(n // 2, 1), "_salt")
+    return light_part.unionByName(heavy_part).drop("_salt")
 
 
 def extract_flat(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:

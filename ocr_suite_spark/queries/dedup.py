@@ -45,6 +45,36 @@ def shingles_col(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pos, sh): ordered 3-token shingles, relationally.
+
+    posexplode the normalized tokens once, then lead() over (doc_id, pos) —
+    Spark performs no common-subexpression elimination inside array lambdas,
+    so the nested-transform formulation re-tokenizes the document per shingle
+    (quadratic per row); this version tokenizes exactly once and the window
+    shuffle on doc_id is the same shuffle every downstream agg needs anyway.
+    """
+    from pyspark.sql import Window as W
+
+    tk = docs.select(
+        "doc_id", "lang", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        tk.select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("sh"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .where(F.col("_t2").isNotNull())
+        .drop("_t2")
+    )
+
+
 def _minhash_cols(sh: Column) -> list[Column]:
     """MinHash signature: per seed s, min over shingles of md5('s|'+shingle).
     Fixed-length hex strings make lexicographic min == numeric min."""
@@ -91,13 +121,16 @@ FROM documents GROUP BY md5(text)
 def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc MinHash signature and the two LSH band keys.
 
-    Scale: signature computation is embarrassingly parallel (no shuffle);
-    the band keys are what the pair-join buckets on.
+    One shingle explode + one groupBy with 8 min-aggregates (map-side
+    partial aggregation makes the shuffle carry only 8 hashes per doc).
     """
-    docs = t(spark, sf, "documents").select(
-        "doc_id", shingles_col(F.col("text")).alias("sh")
+    sh = shingle_rows(t(spark, sf, "documents"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
     )
-    sig = docs.where(F.size("sh") > 0).select("doc_id", *_minhash_cols(F.col("sh")))
     band0 = F.md5(F.concat_ws("", *[F.col(f"mh{i}") for i in range(0, 4)]))
     band1 = F.md5(F.concat_ws("", *[F.col(f"mh{i}") for i in range(4, 8)]))
     return sig.select(
@@ -208,11 +241,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     index); all-pairs never materializes. Jaccard from |A∩B| and set sizes.
     """
     docs = t(spark, sf, "documents")
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("sh"),
-    )
+    sh = shingle_rows(docs).select("doc_id", "lang", "sh").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -17,23 +17,23 @@ from ..operators import extract as X
 
 def extract_merged(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: per-doc (kind, text, media_ref, order) sequences."""
-    return X.extract(datagen.interleaved_from_documents(spark, sf))
+    return X.extract(datagen.materialized_corpus(spark, sf))
 
 
 def extract_flat(spark: SparkSession, sf: str) -> DataFrame:
     """Flat extracted spans (the text_instances analog)."""
-    return X.extract_flat(datagen.interleaved_from_documents(spark, sf))
+    return X.extract_flat(datagen.materialized_corpus(spark, sf))
 
 
 def extract_media_words(spark: SparkSession, sf: str) -> DataFrame:
     """Word-level OCR output with bboxes + confidence (ocr_result entries)."""
-    return X.extract_words(datagen.interleaved_from_documents(spark, sf))
+    return X.extract_words(datagen.materialized_corpus(spark, sf))
 
 
 def extract_like_search(spark: SparkSession, sf: str) -> DataFrame:
     """The viewer's LIKE search over extracted spans (J1 on pipeline output):
     which documents contain 'alpha%' words in recognized media text."""
-    flat = X.extract_flat(datagen.interleaved_from_documents(spark, sf))
+    flat = X.extract_flat(datagen.materialized_corpus(spark, sf))
     words = flat.where(F.col("kind") == "media").select(
         "doc_id", "order", F.explode(F.split("text", " ")).alias("word")
     )

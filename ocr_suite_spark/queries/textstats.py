@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import DUCK_TOKENS, t, tokens_col
-from .dedup import shingles_col, DUCK_SHINGLES
+from .dedup import DUCK_SHINGLES
 
 STOPWORDS = {
     "en": ("the", "and", "with", "for"),
@@ -134,21 +134,42 @@ FROM documents
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprints: md5 the ordered 3-gram shingles, take the min
     hash of each sliding window of 4, dedupe — count + global min as the
-    stable summary (the full set is what a plagiarism index would store)."""
+    stable summary (the full set is what a plagiarism index would store).
+
+    Formulated relationally (posexplode + window min) rather than as nested
+    array lambdas: Spark does no common-subexpression elimination inside
+    higher-order functions, so the lambda version re-evaluates the whole
+    shingle pipeline per window element (O(n^2) per row, ~90s at sf0.01);
+    this version is one explode + one window + one groupBy and also
+    parallelizes across shingles at scale.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import shingle_rows
+
     docs = t(spark, sf, "documents")
-    hashes = F.transform(shingles_col(F.col("text")), lambda x: F.md5(x))
-    wins = F.when(
-        F.size(hashes) >= WINNOW_W,
-        F.transform(
-            F.sequence(F.lit(0), F.size(hashes) - WINNOW_W),
-            lambda i: F.array_min(F.slice(hashes, i + 1, WINNOW_W)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    fps = F.array_distinct(wins)
-    return docs.select(
-        "doc_id",
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        F.array_min(fps).alias("min_fingerprint"),
+    hs = shingle_rows(docs).select("doc_id", "pos", F.md5("sh").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wins = (
+        hs.select(
+            "doc_id",
+            F.min("h").over(w).alias("winmin"),
+            F.count("h").over(w).alias("wlen"),
+        )
+        .where(F.col("wlen") == WINNOW_W)  # full windows only
+    )
+    fp = wins.groupBy("doc_id").agg(
+        F.countDistinct("winmin").alias("n_fingerprints"),
+        F.min("winmin").alias("min_fingerprint"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_fingerprints"), F.lit(0)).cast("long").alias("n_fingerprints"),
+            "min_fingerprint",
+        )
     )
 
 
