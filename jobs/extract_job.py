@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Cluster entry point: the OCR-extraction job, packaged for spark-submit.
+
+    python -m zipfile -c ocr_suite_spark.zip ocr_suite_spark
+    spark-submit --py-files ocr_suite_spark.zip jobs/extract_job.py \
+        --input  <documents parquet/iceberg path or testdata sf dir> \
+        --output <extracted-spans table path> \
+        --checkpoint <progress table path> [--run-id r1] [--n-buckets 64]
+
+The SAME artifact runs at every cluster size (the north rule's N vs 4N
+criterion benchmarks exactly this invocation at two parallelism levels).
+No master/parallelism is hard-coded here — spark-submit owns that.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents table path, or a testdata sf dir")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--run-id", default="run-1")
+    p.add_argument("--n-buckets", type=int, default=64)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ocr_suite_spark import datagen
+    from ocr_suite_spark.progress import ProgressStore, extract_resumable
+    from ocr_suite_spark.schema import DOCUMENTS
+
+    spark = SparkSession.builder.appName("ocs-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if "testdata" in args.input:  # convenience: derive corpus from testdata
+        docs = datagen.interleaved_from_documents(spark, args.input)
+    else:
+        docs = spark.read.schema(DOCUMENTS).parquet(args.input)
+
+    t0 = time.time()
+    out = extract_resumable(
+        spark,
+        docs,
+        out_dir=args.output,
+        ckpt_dir=args.checkpoint,
+        run_id=args.run_id,
+        n_buckets=args.n_buckets,
+    )
+    n = out.count()
+    wall = time.time() - t0
+    done = ProgressStore(spark, args.checkpoint).done_buckets(args.run_id).count()
+    print(
+        json.dumps(
+            {
+                "docs": n,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n / wall, 2),
+                "buckets_done": done,
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Structured-Streaming incremental extraction — the ocs-watcher analog.
+
+Reference behavior being re-expressed (/root/reference tools/ocs-watcher):
+- S8 change-data source: watchdog FS events + periodic full rescan every
+  `checking_frequency` minutes (ocsw/watcher.py:10-37, runner.py:25-42)
+  -> Spark file streaming source; `Trigger.AvailableNow` is the "periodic
+  rescan" mode (process everything new, then stop), a processing-time
+  trigger is the "stay resident" mode.
+- T1 resumable incremental processing: the checkpointLocation replaces the
+  SQLite `last_processed_frame` watermark — a restarted query picks up
+  exactly the unseen files, no recomputation, no duplicates.
+- The reference re-runs the whole recognizer binary per video
+  (executor.py:112-143, one subprocess per file); here each micro-batch
+  runs the same `extract()` used in batch mode, so stream and batch paths
+  share one implementation (the reference shares semantics the same way:
+  ocr-cli and the pipeline share provider code).
+
+foreachBatch + append parquet gives at-least-once file output with
+exactly-once source accounting; an Iceberg/Delta sink would make the write
+itself transactional at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import extract as X
+from ..schema import DOCUMENTS
+
+
+def stream_extract_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Process all documents files not yet seen by this checkpoint, then
+    stop (the watcher's periodic-rescan semantics). Returns batches run."""
+    reader = spark.readStream.schema(DOCUMENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+
+    n_batches = {"n": 0}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_batches["n"] += 1
+        if batch_df.isEmpty():
+            return
+        X.extract(batch_df).write.mode("append").parquet(output_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def stream_rate_meter(spark: SparkSession, events_dir: str, window: str = "5 seconds") -> DataFrame:
+    """The speed_meter analog (reference speed_meter.cpp:35-58, 5s interval):
+    windowed per-event-type rates over a streamed events table. Returns the
+    result DataFrame after draining the source (memory sink smoke path)."""
+    from pyspark.sql import functions as F
+
+    import os
+
+    schema = spark.read.parquet(events_dir).schema
+    # the streaming file source needs a directory; accept a single file via
+    # its parent dir + a glob filter
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet") and not os.path.isdir(events_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    ev = reader.parquet(events_dir)
+    # parquet ts is TIMESTAMP_NTZ; event-time semantics require TIMESTAMP
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = "rate_meter_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT win.start AS win_start, event_type, n FROM {name}"
+    )

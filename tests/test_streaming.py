@@ -1,0 +1,67 @@
+"""Streaming semantics: incremental file-source extraction with checkpointed
+resume (watcher analog, SURVEY.md S8/T1/T2) and the windowed rate meter."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_suite_spark import datagen
+from ocr_suite_spark.operators import extract as X
+from ocr_suite_spark.streaming.incremental import (
+    stream_extract_available_now,
+    stream_rate_meter,
+)
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="ocs-stream-")
+    yield f"{d}/in", f"{d}/out", f"{d}/ckpt"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _sequences(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+def test_incremental_extraction_resumes_without_recompute(spark, sf_dir, dirs):
+    in_dir, out_dir, ckpt = dirs
+    docs = datagen.interleaved_from_documents(spark, sf_dir).limit(80).cache()
+    part1 = docs.where(F.xxhash64("doc_id") % 2 == 0)
+    part2 = docs.where(F.xxhash64("doc_id") % 2 != 0)
+
+    # drop part 1, stream it ("still-recording file appears")
+    part1.write.mode("overwrite").parquet(f"{in_dir}/p1")
+    stream_extract_available_now(spark, in_dir + "/*", out_dir, ckpt)
+    got1 = _sequences(spark.read.parquet(out_dir))
+    assert set(got1) == {r["doc_id"] for r in part1.collect()}
+
+    # drop part 2, re-run the same checkpointed query: only NEW files process
+    part2.write.mode("overwrite").parquet(f"{in_dir}/p2")
+    stream_extract_available_now(spark, in_dir + "/*", out_dir, ckpt)
+    got_all = _sequences(spark.read.parquet(out_dir))
+    assert len(got_all) == 80  # no duplicates from part 1
+
+    # equality with the one-shot batch pipeline
+    want = _sequences(X.extract(docs))
+    assert got_all == want
+
+    # third run with nothing new: output unchanged
+    stream_extract_available_now(spark, in_dir + "/*", out_dir, ckpt)
+    assert len(_sequences(spark.read.parquet(out_dir))) == 80
+
+
+def test_rate_meter_windows(spark, sf_dir):
+    out = stream_rate_meter(spark, f"{sf_dir}/events.parquet")
+    rows = out.collect()
+    assert rows
+    total = sum(r["n"] for r in rows)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events  # windowed counts partition the stream
