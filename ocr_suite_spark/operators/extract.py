@@ -56,38 +56,65 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
-def _ocr_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas fn: (doc_id, offset, media_ref) -> + recognized text.
+def make_ocr_fn(meter=None):
+    """Build the mapInPandas fn: (doc_id, offset, media_ref) -> + recognized
+    text.
 
     Iterator-init idiom: the recognizer (template bank) is built once per
     python worker, then streams Arrow batches — the canonical expensive-init
-    vectorized UDF pattern (SURVEY.md F1).
+    vectorized UDF pattern (SURVEY.md F1). With a SpeedMeter, per-batch
+    decode/recognize wall time rides back on accumulators (speed_meter
+    analog, speed_meter.cpp:35-58).
     """
-    from ..kernels import render, textnorm
-    from ..kernels.ocr import Recognizer
 
-    eng = Recognizer()
-    memo: dict[str, str] = {}
-    for pdf in batches:
-        texts = []
-        for ref in pdf["media_ref"]:
-            t = memo.get(ref)
-            if t is None:
-                img = render.decode_image(render.resolve_media(ref))
-                t = textnorm.ocr_words_to_text([w.text for w in eng.recognize(img)])
-                if len(memo) > 65536:
-                    memo.clear()
-                memo[ref] = t
-            texts.append(t)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "order": pdf["offset"],
-                "kind": "media",
-                "text": texts,
-                "media_ref": pdf["media_ref"],
-            }
-        )
+    def _ocr_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        from ..kernels import render, textnorm
+        from ..kernels.ocr import Recognizer
+
+        eng = Recognizer()
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            texts = []
+            t_dec = 0.0
+            t_ocr = 0.0
+            n_fresh = 0
+            for ref in pdf["media_ref"]:
+                t = memo.get(ref)
+                if t is None:
+                    n_fresh += 1
+                    t0 = _time.time()
+                    img = render.decode_image(render.resolve_media(ref))
+                    t1 = _time.time()
+                    t = textnorm.ocr_words_to_text(
+                        [w.text for w in eng.recognize(img)]
+                    )
+                    t_dec += t1 - t0
+                    t_ocr += _time.time() - t1
+                    if len(memo) > 65536:
+                        memo.clear()
+                    memo[ref] = t
+                texts.append(t)
+            if meter is not None:
+                meter.n_images.add(n_fresh)
+                meter.decode_s.add(t_dec)
+                meter.ocr_s.add(t_ocr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "order": pdf["offset"],
+                    "kind": "media",
+                    "text": texts,
+                    "media_ref": pdf["media_ref"],
+                }
+            )
+
+    return _ocr_text_batches
+
+
+# default un-metered instance (used by queries and tests)
+_ocr_text_batches = make_ocr_fn(None)
 
 
 def _ocr_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,7 +172,9 @@ def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
     return light_part.unionByName(heavy_part).drop("_salt")
 
 
-def extract_flat(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def extract_flat(
+    documents: DataFrame, salt_partitions: int | None = None, meter=None
+) -> DataFrame:
     """documents -> flat extracted spans (doc_id, order, kind, text, media_ref)."""
     ex = explode_spans(documents)
     text_out = ex.where(F.col("kind") == "text").select(
@@ -157,7 +186,7 @@ def extract_flat(documents: DataFrame, salt_partitions: int | None = None) -> Da
     )
     media_in = ex.where(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
     media_out = _salted(media_in, salt_partitions).mapInPandas(
-        _ocr_text_batches, schema=_FLAT_SCHEMA
+        make_ocr_fn(meter), schema=_FLAT_SCHEMA
     )
     return text_out.unionByName(media_out)
 
@@ -185,9 +214,11 @@ def merge_spans(flat: DataFrame) -> DataFrame:
     )
 
 
-def extract(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def extract(
+    documents: DataFrame, salt_partitions: int | None = None, meter=None
+) -> DataFrame:
     """Full pipeline: documents -> merged (kind, text, media_ref, order) sequences."""
-    return merge_spans(extract_flat(documents, salt_partitions))
+    return merge_spans(extract_flat(documents, salt_partitions, meter=meter))
 
 
 def extract_words(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:

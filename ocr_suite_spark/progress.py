@@ -42,6 +42,8 @@ PROGRESS_SCHEMA = T.StructType(
         T.StructField("lineage", T.LongType(), True),  # input fingerprint
         T.StructField("wall_secs", T.DoubleType(), True),
         T.StructField("docs_per_sec", T.DoubleType(), True),
+        T.StructField("decode_s", T.DoubleType(), True),  # per-stage split
+        T.StructField("ocr_s", T.DoubleType(), True),  # (speed_meter analog)
         T.StructField("updated_at", T.TimestampType(), True),
     ]
 )
@@ -104,13 +106,16 @@ def extract_resumable(
     """
     from .operators import extract as X
 
+    from .metrics import SpeedMeter
+
     store = ProgressStore(spark, ckpt_dir)
     docs = documents.withColumn("bucket", bucket_col(n_buckets))
     done = store.done_buckets(run_id)
     pending = docs.join(done, "bucket", "left_anti")
 
+    meter = SpeedMeter(spark)
     t0 = time.time()
-    merged = X.extract(pending.drop("bucket"), salt_partitions=salt_partitions)
+    merged = X.extract(pending.drop("bucket"), salt_partitions=salt_partitions, meter=meter)
     result = merged.withColumn("bucket", bucket_col(n_buckets))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -139,6 +144,8 @@ def extract_resumable(
     )
     now = __import__("datetime").datetime.now(__import__("datetime").timezone.utc).replace(tzinfo=None)
     total_docs = sum(r["n_docs"] for r in stats) or 1
+    snap = meter.snapshot()
+    total_media = sum(r["n_media"] for r in stats) or 1
     store.append(
         [
             {
@@ -151,9 +158,12 @@ def extract_resumable(
                 "max_offset": r["max_offset"],
                 "lineage": r["lineage"],
                 "wall_secs": wall,
-                # speed_meter analog (speed_meter.cpp:49-50): run-level rate;
-                # per-stage split lands in bench.py's stage metrics
+                # speed_meter analog (speed_meter.cpp:49-50): run-level rate
+                # plus the decode/ocr stage split from worker accumulators,
+                # attributed to buckets by media share
                 "docs_per_sec": total_docs / wall if wall > 0 else None,
+                "decode_s": snap.decode_s * r["n_media"] / total_media,
+                "ocr_s": snap.ocr_s * r["n_media"] / total_media,
                 "updated_at": now,
             }
             for r in stats

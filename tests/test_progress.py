@@ -87,3 +87,6 @@ def test_lineage_fingerprint_recorded(spark, sf_dir, tmpdirs):
     assert all(r["lineage"] is not None for r in rows)
     assert all(r["n_docs"] > 0 and r["docs_per_sec"] > 0 for r in rows)
     assert all(r["max_offset"] is not None for r in rows)
+    # per-stage split (speed_meter analog) recorded from worker accumulators
+    assert sum(r["ocr_s"] for r in rows) > 0
+    assert sum(r["decode_s"] for r in rows) > 0
