@@ -103,13 +103,32 @@ def rotate_bilinear(img: np.ndarray, deg: float, fill: float) -> np.ndarray:
     fy = ys - y0
     # clamp-to-edge gather, then overwrite fully-outside pixels with fill
     x0c = np.clip(x0, 0, w - 1)
-    x1c = np.clip(x0 + 1, 0, w - 1)
+    x1c = np.minimum(x0c + 1, w - 1)
     y0c = np.clip(y0, 0, h - 1)
-    y1c = np.clip(y0 + 1, 0, h - 1)
+    y1c = np.minimum(y0c + 1, h - 1)
     imgf = img.astype(np.float32)
-    top = imgf[y0c, x0c] * (1 - fx) + imgf[y0c, x1c] * fx
-    bot = imgf[y1c, x0c] * (1 - fx) + imgf[y1c, x1c] * fx
-    out = top * (1 - fy) + bot * fy
+    # flat-index gathers (np.take is measurably cheaper than 2-D fancy
+    # indexing here); arithmetic order matches the textbook weighted form
+    # g00*(1-fx) + g01*fx exactly, with in-place ops to cap temporaries —
+    # these full-crop float32 buffers are the UDF's peak memory
+    y0f = y0c * np.int32(w)
+    y1f = y1c * np.int32(w)
+    flat = imgf.ravel()
+    gx = 1 - fx
+    top = np.take(flat, y0f + x0c)
+    top *= gx
+    t2 = np.take(flat, y0f + x1c)
+    t2 *= fx
+    top += t2
+    bot = np.take(flat, y1f + x0c)
+    bot *= gx
+    b2 = np.take(flat, y1f + x1c)
+    b2 *= fx
+    bot += b2
+    top *= 1 - fy
+    bot *= fy
+    out = top
+    out += bot
     outside = (xs < 0) | (xs > w - 1) | (ys < 0) | (ys > h - 1)
     out[outside] = np.float32(fill)
     return out
