@@ -91,30 +91,54 @@ def run_bench(cores: int, sf_dir: str, names: list[str]) -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
     }
+    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_file):  # last `--scaling` run (protocol in BENCH.md)
+        with open(scaling_file) as f:
+            out["scaling"] = json.load(f)
     spark.stop()
     return out
 
 
 def run_flagship_once(cores: int, n_docs: int) -> dict:
     """Steady-state extraction throughput over a materialized synthetic
-    corpus of n_docs interleaved documents (fresh JVM)."""
+    corpus of n_docs interleaved documents (fresh JVM).
+
+    Each timed run processes a DISJOINT doc-id slice of a 3x corpus: at
+    production scale every image is seen exactly once, and re-running the
+    identical corpus would let per-worker memo caches serve repeats — an
+    effect that is much stronger with few workers (each worker accumulates
+    a larger share of the refs) and would therefore fake the small-N
+    timing and corrupt the N-vs-4N ratio.
+    """
+    from pyspark.sql import functions as F
+
     from ocr_suite_spark import datagen
     from ocr_suite_spark.operators import extract as X
     from ocr_suite_spark.session import get_spark
 
+    n_runs = 1 if n_docs >= 48000 else 2  # interleaved rounds handle noise
     spark = get_spark(
         cores=cores,
         app=f"ocs-scaling-{cores}",
         shuffle_partitions=cores,
         extra={"spark.ui.showConsoleProgress": "false"},
     )
-    docs = datagen.materialized_corpus(spark, "", n_synth=n_docs)
-    n = docs.count()
-    _materialize(X.extract(docs))  # warm: worker pool, codegen, shuffle
+    corpus = datagen.materialized_corpus(spark, "", n_synth=n_docs * (n_runs + 1))
+    doc_num = F.split(F.col("doc_id"), "-")[1].cast("long")
+    slices = [
+        corpus.where((doc_num >= i * n_docs) & (doc_num < (i + 1) * n_docs))
+        for i in range(n_runs + 1)
+    ]
+    n = slices[1].count()
+    # FIXED salt partition count at every cluster size — a real job sizes
+    # partitions by data volume, and a per-cores count would make the 4N
+    # level pay 4x the (measured ~0.18 core-s) per-task setup of N
+    salt_parts = max(int(n * 2 / 512), 48)  # ~2 media spans/doc, ~512/task
+    _materialize(X.extract(slices[0], salt_partitions=salt_parts))  # warm
     walls = []
-    for _ in range(2 if n_docs >= 48000 else 4):  # min-of-k: multi-second VM noise
+    for i in range(1, n_runs + 1):
         t0 = time.time()
-        _materialize(X.extract(docs))
+        _materialize(X.extract(slices[i], salt_partitions=salt_parts))
         walls.append(time.time() - t0)
     wall = min(walls)
     spark.stop()
@@ -126,30 +150,100 @@ def run_flagship_once(cores: int, n_docs: int) -> dict:
     }
 
 
+def _hw_control(nproc: int, n_imgs: int = 400) -> float:
+    """Spark-free control: median per-image ms for `nproc` pinned python
+    processes each doing identical render+recognize work.
+
+    On a single shared box, active-core count alone changes per-core
+    throughput (turbo scaling, shared memory bandwidth/LLC) — an artifact a
+    real 4x-executor cluster does not have, since 4N executors bring 4x of
+    every resource. Measuring it on PURE numpy work (no Spark at all) gives
+    the hardware ceiling that any N-vs-4N comparison on this box is subject
+    to; the Spark-layer efficiency is raw_eff / hw_eff.
+    """
+    import multiprocessing as mp
+
+    def worker(q, seed):
+        from ocr_suite_spark.kernels import render
+        from ocr_suite_spark.kernels.ocr import Recognizer
+
+        eng = Recognizer()
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+        t0 = time.perf_counter()
+        for i in range(n_imgs):
+            nw = 2 + (seed + i) % 3
+            skew = (-8, -4, 0, 2, 6)[(seed + i) % 5]
+            ws = [words[(seed + i + j) % 7] for j in range(nw)]
+            ref = render.make_media_ref(ws, skew, (seed * 1000 + i) % 100000)
+            eng.recognize(render.decode_image(render.resolve_media(ref)))
+        q.put((time.perf_counter() - t0) / n_imgs * 1e3)
+
+    old_aff = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(nproc)))
+    try:
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q, k * 7919)) for k in range(nproc)]
+        for p in ps:
+            p.start()
+        per = sorted(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return per[len(per) // 2]
+    finally:
+        os.sched_setaffinity(0, old_aff)
+
+
 def run_scaling(n_docs: int = 20000, n: int = 6, n4: int = 24) -> dict:
     """Same job (extract), same materialized input, two parallelism levels,
     fresh JVM each — the sandbox stand-in for N vs 4N executors.
 
-    6 vs 24 (not 8 vs 32): the 4N level must leave cores for the JVM's own
-    scheduler/shuffle/Arrow threads, exactly as a real executor leaves cores
-    for its daemon threads — local[32] on a 32-core box oversubscribes and
-    penalizes the 4N measurement with an artifact a real cluster doesn't have.
+    Protocol notes (all measured, see BENCH.md):
+    - Each level is PINNED to exactly `cores` CPUs with taskset. local[N]
+      caps task *slots*, not CPUs: the JVM side of a task (scan, shuffle
+      write, Arrow transfer) runs concurrently with its python worker, so
+      an unpinned local[6] on a 32-core box quietly burns ~2x its nominal
+      cores while local[24] saturates the box — inflating small-N
+      throughput and corrupting the ratio. Pinning gives each level the
+      fixed CPU budget a real N-core executor set has.
+    - Levels are INTERLEAVED over `rounds` fresh-JVM rounds and the best
+      wall per level wins: this VM's per-core throughput drifts over
+      minutes (event-log: identical OCR stages grew 452 -> 536 core-s
+      within one process), so running all of one level before the other
+      would bias whichever ran later.
     """
+    rounds = 2
+    walls: dict[int, list] = {n: [], n4: []}
     results = {}
+    for _ in range(rounds):
+        for cores in (n, n4):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+                 "--flagship-once", str(n_docs)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            walls[cores].append(r["wall"])
+            results[cores] = r
     for cores in (n, n4):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        out = subprocess.run(
-            [sys.executable, __file__, "--flagship-once", str(n_docs)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        results[cores]["wall"] = min(walls[cores])
+        results[cores]["walls_all_rounds"] = walls[cores]
+        results[cores]["docs_per_sec"] = round(results[cores]["n_docs"] / min(walls[cores]), 2)
     t_n, t_4n = results[n]["wall"], results[n4]["wall"]
+    raw_eff = round((t_n / t_4n) / (n4 / n), 3)
+    # interleave the control too (same drift applies), best-of-2 each
+    ctl = {n: [], n4: []}
+    for _ in range(2):
+        ctl[n].append(_hw_control(n))
+        ctl[n4].append(_hw_control(n4))
+    ms_n, ms_4n = min(ctl[n]), min(ctl[n4])
+    hw_eff = round(ms_n / ms_4n, 3)  # per-core slowdown from active-core count alone
     return {
         "metric": "scaling_efficiency_n_to_4n",
-        "value": round((t_n / t_4n) / (n4 / n), 3),
+        "value": raw_eff,
         "unit": "ratio",
         "n_docs": n_docs,
         "t_n_sec": t_n,
@@ -158,6 +252,15 @@ def run_scaling(n_docs: int = 20000, n: int = 6, n4: int = 24) -> dict:
         "cores_4n": n4,
         "docs_per_sec_n": results[n]["docs_per_sec"],
         "docs_per_sec_4n": results[n4]["docs_per_sec"],
+        "walls_n": walls[n],
+        "walls_4n": walls[n4],
+        # single-box hardware ceiling measured on Spark-free numpy work:
+        # per-image ms at n vs 4n pinned processes; hw_ceiling_eff is the
+        # best ANY job can score on this box going n -> 4n active cores
+        "hw_control_ms_n": round(ms_n, 2),
+        "hw_control_ms_4n": round(ms_4n, 2),
+        "hw_ceiling_eff": hw_eff,
+        "spark_layer_eff": round(min(raw_eff / hw_eff, 1.0), 3),
     }
 
 
@@ -165,7 +268,10 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--scaling" in args:
         n_docs = int(args[args.index("--scaling") + 1]) if args.index("--scaling") + 1 < len(args) and args[args.index("--scaling") + 1].isdigit() else 20000
-        print(json.dumps(run_scaling(n_docs)))
+        res = run_scaling(n_docs)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
     elif "--flagship-once" in args:
         n_docs = int(args[args.index("--flagship-once") + 1])
         print(json.dumps(run_flagship_once(CPUS, n_docs)))

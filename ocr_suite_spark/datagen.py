@@ -150,13 +150,28 @@ def materialized_corpus(
             if n_synth
             else interleaved_from_documents(spark, sf_dir)
         )
-        df.write.mode("overwrite").parquet(path)
+        # Fixed file count, independent of the WRITER session's parallelism:
+        # a corpus written by a local[6] session would otherwise carry only
+        # 6 small files and cap the scan/explode stages of every LATER
+        # reader at parallelism 6 — the scaling bench's 4N level must not
+        # inherit the N level's layout. (At real scale the table arrives
+        # pre-partitioned by the ingest job.)
+        df.repartition(64).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
-def synthesize(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
-    """Standalone deterministic corpus of n_docs documents."""
-    base = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+def synthesize(
+    spark: SparkSession, n_docs: int, partitions: int | None = None, start: int = 0
+) -> DataFrame:
+    """Standalone deterministic corpus of n_docs documents.
+
+    ``start`` offsets the doc-id range: slices with different starts share
+    the content *distribution* but no individual media_ref — used by the
+    scaling bench so repeated runs never re-see an image (at production
+    scale every image is seen once; per-worker memo hits across repeated
+    identical micro-bench runs would otherwise inflate small-N throughput).
+    """
+    base = spark.range(start, start + n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     doc_id = F.concat(F.lit("doc-"), F.col("id").cast("string"))
     words_arr = F.array(*[F.lit(w) for w in MEDIA_WORDS])
     n_toks = (16 + F.pmod(F.xxhash64(doc_id, F.lit("len")), F.lit(48))).cast("int")

@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 from .. import MIN_TOKEN_LEN
 
 _FLAT_SCHEMA = "doc_id string, order int, kind string, text string, media_ref string"
+# salt-partition sizing: ~45 measured bytes/row in Catalyst's estimate for
+# the (doc_id, offset, media_ref) projection; ~512 rows (~2 s of OCR) per task
+_EST_BYTES_PER_ROW = 48
+_TARGET_ROWS_PER_TASK = 512
 _WORDS_SCHEMA = (
     "doc_id string, order int, media_ref string, word string, "
     "left int, top int, right int, bottom int, confidence float"
@@ -151,25 +155,34 @@ def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
     partition — the 100TB analog of the reference's largest-video problem
     (which it LPT-balances by file size, search.cpp:117-163).
 
-    Two refinements measured on local[24]:
-    - ~8 tasks per core: fine-grained tasks let the scheduler absorb
-      per-image cost variance and shrink last-wave quantization;
-    - cost-class homogenization: recognition cost scales with payload size
-      (~10x between classes), so salting ALL rows together leaves each task
-      a random cost mix with high variance. Repartitioning each cost class
-      separately (cost estimated from media_ref length — the one cheap
-      pre-decode signal) makes tasks cost-homogeneous: util 79% -> ~90%.
+    One shuffle; uniform salting over fine-grained partitions makes every
+    partition the same expected cost mix (heavy images per partition
+    concentrate tightly at this granularity — a ~Poisson count, i.e. a
+    few-percent task-cost variance the scheduler absorbs across waves).
+    An earlier two-branch variant that repartitioned the heavy and light
+    cost classes separately measured the same in-stage utilization
+    (event-log: 96-98% at 24 slots) but paid its two exchanges as
+    *sequential* jobs under AQE — strictly worse.
+
+    Partition count is sized from the DATA (Catalyst's sizeInBytes
+    estimate — free, no extra scan), not from the cluster: each warm
+    mapInPandas task costs ~0.18 core-s of fixed setup (measured), so a
+    count proportional to cores would over-decompose small inputs and
+    make the big-cluster level pay 4x the task overhead of the small one
+    in an N-vs-4N comparison. Clamped to [2x, 10x] parallelism so tasks
+    stay wave-schedulable at any size. AQE coalescing is NOT used here
+    on purpose: it targets partition bytes, and these rows are bytes-tiny
+    but compute-heavy.
     """
     spark = media.sparkSession
-    n = salt_partitions or 8 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt_partitions:
+        n = salt_partitions
+    else:
+        cores = spark.sparkContext.defaultParallelism
+        est_rows = int(media._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) / _EST_BYTES_PER_ROW
+        n = int(min(max(est_rows / _TARGET_ROWS_PER_TASK, 2 * cores), 10 * cores))
     salt = F.pmod(F.xxhash64("doc_id", "offset"), F.lit(n * 4))
-    payload = F.regexp_extract("media_ref", r"img://v1/([a-z_]+)", 1)
-    heavy = F.size(F.split(payload, "_")) >= 5  # 5+ payload words
-
-    salted = media.withColumn("_salt", salt)
-    light_part = salted.where(~heavy).repartition(n, "_salt")
-    heavy_part = salted.where(heavy).repartition(max(n // 2, 1), "_salt")
-    return light_part.unionByName(heavy_part).drop("_salt")
+    return media.repartition(n, salt)
 
 
 def extract_flat(

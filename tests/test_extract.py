@@ -103,3 +103,20 @@ def test_count_stable_across_parallelism(docs):
     a = X.extract_flat(docs).count()
     b = X.extract_flat(docs.repartition(17)).count()
     assert a == b
+
+
+def test_synthesize_slices_disjoint(spark):
+    """Scaling-bench contract: corpora at different id offsets share the
+    content distribution but no media_ref (each timed run sees fresh
+    images, as a production run over new data would)."""
+    a = datagen.synthesize(spark, 200, partitions=4, start=0)
+    b = datagen.synthesize(spark, 200, partitions=4, start=200)
+    refs = lambda df: {
+        r["r"]
+        for r in df.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("r"))
+        .collect()
+    }
+    ra, rb = refs(a), refs(b)
+    assert ra and rb and not (ra & rb)
