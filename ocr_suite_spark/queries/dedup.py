@@ -254,9 +254,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # NO broadcast hint on `sizes`: it is corpus-sized (one row per doc),
+    # so pinning it as a broadcast would OOM at 10^12 docs — let AQE pick
+    # broadcast below its threshold and shuffled hash join above it
     j = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -64,7 +64,12 @@ def j1_dict_like_join(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("value")
     )
-    # A4: distinct dictionary; J2: deterministic id mint via dense_rank
+    # A4: distinct dictionary; J2: deterministic id mint via dense_rank.
+    # The unpartitioned window funnels the distinct vocabulary through one
+    # task — acceptable because vocabulary is sublinear in corpus size
+    # (the reference's text_entries table is exactly this dictionary); at
+    # web scale you'd mint ids with xxhash64(value) or zipWithIndex and
+    # give up the dense 1..V numbering (kept here for oracle parity).
     dictionary = (
         toks.select("value")
         .distinct()
@@ -496,8 +501,11 @@ def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
     d124 = lambda c: F.col(c).cast("decimal(12,4)")
     one = F.lit(1).cast("decimal(5,4)")
     rev = d124("l_extendedprice") * (one - d94("l_discount"))  # (19,8) exact
+    # no broadcast hints: orders/customer are corpus-sized tables, so the
+    # build side must stay AQE's choice (broadcast below threshold at
+    # sample SF, shuffled hash / sort-merge above it at real scale)
     j = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     g = j.groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")).agg(

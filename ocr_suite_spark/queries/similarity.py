@@ -27,7 +27,11 @@ def _scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).alias("q")
+    # broadcast the QUERY side explicitly: at sample SF either side fits,
+    # and the planner may pick the corpus as build side (BuildRight) —
+    # which OOMs at 10^12 scale. The hint pins the only plan that scales:
+    # tiny queries replicated, one streaming pass over the corpus.
+    q = F.broadcast(emb.where(F.col("vec_id") < N_QUERIES)).alias("q")
     c = emb.alias("c")
     cos = _cos(F.col("q.e"), F.col("c.e"))
     return (
@@ -116,7 +120,9 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
         _bucket_col(F.col("embedding")).alias("bucket"),
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).alias("q")
+    # same build-side pinning as the brute-force path: queries broadcast,
+    # corpus streamed (hash join on bucket)
+    q = F.broadcast(emb.where(F.col("vec_id") < N_QUERIES)).alias("q")
     c = emb.alias("c")
     cos = _cos(F.col("q.e"), F.col("c.e"))
     scored = (
