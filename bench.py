@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_count",
     "doc_fingerprint",
 ]

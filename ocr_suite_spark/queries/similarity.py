@@ -160,8 +160,90 @@ WHERE rnk <= {TOP_K}
 """
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+_SEED_LO, _SEED_HI = N_QUERIES, N_QUERIES + N_CELLS  # deterministic "centroids"
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer of N_CELLS centroid
+    vectors partitions the corpus into inverted lists; each query probes
+    only its own cell (nprobe=1).
+
+    Centroids are a deterministic sample (vec_ids N_QUERIES..+N_CELLS) so
+    the oracle can mirror them exactly — a trained k-means would replace
+    the sample at scale, changing recall but not the dataflow. Scale shape:
+    assignment is one broadcast (N_CELLS rows) streamed over the corpus;
+    the candidate join is an equi-join on cell id, exactly like a real IVF
+    index probe. Assignment ranks on the 3-decimal floored cosine with
+    centroid id as tie-break, so cross-engine float drift cannot flip cells.
+    """
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = F.broadcast(
+        emb.where((F.col("vec_id") >= _SEED_LO) & (F.col("vec_id") < _SEED_HI))
+    ).select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+    sim = F.floor(_cos(F.col("e"), F.col("ce")) * 1000) / 1000
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("sim3").desc(), F.col("cent_id"))
+    cells = (
+        emb.crossJoin(cent)
+        .select("vec_id", "e", "cent_id", sim.alias("sim3"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+    )
+    q = F.broadcast(cells.where(F.col("vec_id") < N_QUERIES)).alias("q")
+    c = cells.alias("c")
+    cos = _cos(F.col("q.e"), F.col("c.e"))
+    scored = q.join(
+        c, (F.col("q.cell") == F.col("c.cell")) & (F.col("q.vec_id") != F.col("c.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        (F.floor(cos * 1000) / 1000).alias("cos3"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos3")
+    )
+
+
+_DUCK_CELL_COS = (
+    "FLOOR(list_dot_product(v.emb, s.emb) / "
+    "(sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(s.emb, s.emb))) "
+    "* 1000) / 1000"
+)
+
+ANN_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, emb FROM e
+         WHERE vec_id >= {_SEED_LO} AND vec_id < {_SEED_HI}),
+assign AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT v.vec_id, v.emb, s.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_DUCK_CELL_COS} DESC, s.cent_id) AS rk
+    FROM e v CROSS JOIN cent s
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos3
+  FROM assign q JOIN assign c
+    ON q.cell = c.cell AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rnk, cos3
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos3 DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "ann_lsh_histogram": (ann_lsh_histogram, ANN_LSH_HIST_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
 }
