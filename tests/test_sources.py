@@ -110,3 +110,16 @@ def test_text_path_is_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     # column pruning held: only `text` is read
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_plan_ann_broadcasts_query_side(spark):
+    """ANN joins must build (broadcast) the tiny QUERY side, never the
+    corpus: BuildLeft with queries on the left is the only shape that
+    survives a 10^12-vector corpus."""
+    from ocr_suite_spark.queries.similarity import ann_lsh_topk, ann_topk_bruteforce
+
+    sf = "/root/testdata/sf0.001"
+    p1 = ann_topk_bruteforce(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildLeft" in p1
+    p2 = ann_lsh_topk(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p2 and "BuildLeft" in p2
