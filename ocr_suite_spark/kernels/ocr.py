@@ -71,7 +71,11 @@ def binarize(img: np.ndarray) -> np.ndarray:
     return img <= otsu_threshold(img)
 
 
-def estimate_skew(mask: np.ndarray, candidates: tuple[int, ...] = SKEW_SET) -> int:
+def estimate_skew(
+    mask: np.ndarray,
+    candidates: tuple[int, ...] = SKEW_SET,
+    ink: tuple[np.ndarray, np.ndarray] | None = None,
+) -> int:
     """Projection-profile deskew: the rotation whose row-sum profile has the
     highest variance is the one that aligns text lines horizontally.
     Deterministic tie-break: smaller |angle|, then smaller angle.
@@ -86,7 +90,7 @@ def estimate_skew(mask: np.ndarray, candidates: tuple[int, ...] = SKEW_SET) -> i
     (verified exact across the full skew x wordcount x noise sweep).
     """
     h, w = mask.shape
-    ys, xs = np.nonzero(mask)
+    ys, xs = ink if ink is not None else np.nonzero(mask)
     if ys.size == 0:
         return 0
     if ys.size > 4096:
@@ -218,13 +222,15 @@ class Recognizer:
         """Full pipeline on a grayscale image -> word boxes in reading order."""
         thresh, mid = otsu_stats(img)
         mask = img <= thresh
-        angle = estimate_skew(mask)
+        ys, xs = np.nonzero(mask)  # computed once; shared with the skew search
+        if ys.size == 0:
+            return []
+        angle = estimate_skew(mask, ink=(ys, xs))
         if angle != 0:
             # Deskew the grayscale with bilinear resampling (smooths the
             # staircase the forward NN rotation introduced), then re-binarize.
             # Only the ink bounding box (+ margin) is resampled — the canvas
             # is mostly padding, and segmentation is translation-invariant.
-            ys, xs = np.nonzero(mask)
             m = 6
             y0, y1 = max(int(ys.min()) - m, 0), min(int(ys.max()) + m + 1, img.shape[0])
             x0, x1 = max(int(xs.min()) - m, 0), min(int(xs.max()) + m + 1, img.shape[1])

@@ -17,9 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, extraction, relational, scalars, similarity, textstats
+from . import dedup, extraction, multimodal, relational, scalars, similarity, textstats
 
-_MODULES = [relational, scalars, dedup, similarity, textstats, extraction]
+_MODULES = [relational, scalars, dedup, similarity, textstats, extraction, multimodal]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for m in _MODULES:

@@ -1,0 +1,209 @@
+"""Multimodal-column operators: media as opaque binary + typed metadata.
+
+The training-data-pipeline layer for image/audio/video payloads: media
+bytes stay an opaque ``binary`` column until a vectorized kernel touches
+them inside ``mapInPandas`` (Arrow batches, never per-row Python). The
+synthetic OCSIMG1 container is decoded for real; any other format raises
+at the clearly-marked codec seam in ``kernels.render.decode_image`` —
+the Spark-side plumbing (schema, batch shape, UDF signature,
+partitioning) is identical for a real decoder.
+
+Reference analog: frames are opaque pixel buffers produced by the decoder
+and consumed by providers (/root/reference src/ffmpeg/decoder.cpp:213-244,
+src/recognition/provider/tesseract.cpp); resize/feature stages mirror the
+preprocessing the north star names (grayscale/threshold/segmentation).
+
+Oracle strategy: byte-level kernels are not SQL-expressible, so
+``media_decode_meta`` / ``media_resize_meta`` / ``media_features`` are
+registered rows-only (their correctness gate is tests/test_multimodal.py:
+exact equality vs the shared Spark-free kernels); ``media_frame_sample``
+is pure relational (offset-stride sampling) and carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+
+_FRAME_STRIDE = 2  # keep every 2nd media span per doc (I/P-frame analog)
+
+
+def _media_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, offset, media_ref, content:binary) — resolve refs to bytes.
+
+    The resolve step stands in for 'fetch + demux'; at real scale `content`
+    would arrive as a column of the Iceberg table or via binaryFile scan
+    (S5), with identical downstream plumbing.
+    """
+    docs = datagen.materialized_corpus(spark, sf)
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import render
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"],
+                    "media_ref": pdf["media_ref"],
+                    "content": [render.resolve_media(r) for r in pdf["media_ref"]],
+                }
+            )
+
+    return media.mapInPandas(
+        resolve, "doc_id string, offset int, media_ref string, content binary"
+    )
+
+
+def media_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode each media payload and emit typed metadata
+    (width, height, n_bytes, ink_fraction at the Otsu threshold)."""
+    src = _media_bytes(spark, sf)
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import render
+        from ..kernels.ocr import binarize
+
+        for pdf in batches:
+            rows = []
+            for doc_id, offset, data in zip(pdf["doc_id"], pdf["offset"], pdf["content"]):
+                img = render.decode_image(bytes(data))
+                h, w = img.shape
+                ink = float(binarize(img).mean())
+                rows.append((doc_id, int(offset), w, h, len(data), round(ink, 4)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "width", "height", "n_bytes", "ink_frac"]
+            )
+
+    return src.mapInPandas(
+        meta, "doc_id string, offset int, width int, height int, n_bytes int, ink_frac double"
+    )
+
+
+def media_resize_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize (2x2 mean-pool downsample) inside the UDF; emit the new
+    dimensions + re-encoded byte count. The resized binary itself is
+    produced and re-encoded — only the metadata is projected out, which is
+    what a downstream thumbnail/size audit would select (column pruning
+    keeps the bytes out of the shuffle)."""
+    src = _media_bytes(spark, sf)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import render
+
+        for pdf in batches:
+            rows = []
+            for doc_id, offset, data in zip(pdf["doc_id"], pdf["offset"], pdf["content"]):
+                img = render.decode_image(bytes(data))
+                h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+                small = (
+                    img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+                ).astype("uint8")
+                out = render.encode_image(small)
+                rows.append((doc_id, int(offset), small.shape[1], small.shape[0], len(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "width", "height", "n_bytes"]
+            )
+
+    return src.mapInPandas(
+        resize, "doc_id string, offset int, width int, height int, n_bytes int"
+    )
+
+
+def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-extract: the recognizer's own 7x5 mean-ink grid of the first
+    segmented word as a dense array<float> embedding per media span —
+    the same downsampling kernel the OCR matcher scores against."""
+    src = _media_bytes(spark, sf)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels import render
+        from ..kernels.ocr import Recognizer, _runs, otsu_stats
+
+        for pdf in batches:
+            rows = []
+            for doc_id, offset, data in zip(pdf["doc_id"], pdf["offset"], pdf["content"]):
+                img = render.decode_image(bytes(data))
+                thresh, _ = otsu_stats(img)
+                mask = img <= thresh
+                vec = np.zeros(35, dtype=np.float32)
+                lines = _runs(mask.any(axis=1))
+                if lines:
+                    line = mask[lines[0][0] : lines[0][1]]
+                    cols = _runs(line.any(axis=0))
+                    if cols:
+                        vec = Recognizer._pool(
+                            line[:, cols[0][0] : cols[0][1]].astype(np.float32)
+                        ).ravel()
+                rows.append((doc_id, int(offset), [float(v) for v in vec]))
+            yield pd.DataFrame(rows, columns=["doc_id", "offset", "feature"])
+
+    return src.mapInPandas(feats, "doc_id string, offset int, feature array<float>")
+
+
+def frame_sample(media: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
+    """Frame sampling: keep every `stride`-th media span per document by
+    offset order (the relational analog of the reference's I/P-frame
+    filter, decoder.cpp:279-284 — decode fewer frames, keep sequence
+    order). Input: (doc_id, offset, media_ref)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("offset")
+    return (
+        media.withColumn("frame_idx", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.pmod(F.col("frame_idx"), F.lit(stride)) == 0)
+        .select("doc_id", "offset", "media_ref", "frame_idx")
+    )
+
+
+# The interleaved corpus derivation uses xxhash64 Column exprs DuckDB can't
+# mirror, so the oracle-checked query runs both engines over one committed
+# deterministic fixture (generated once by datagen at sf0.01) — input
+# identity is by construction, order-independent of any cache state.
+_FIXTURE = "/root/repo/tests/fixtures/interleaved_sf0.01.parquet"
+
+
+def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(_FIXTURE)
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+    return frame_sample(media)
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH media AS (
+  SELECT doc_id, s."offset" AS "offset", s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_FIXTURE}'))
+  WHERE s.kind = 'media'
+),
+idx AS (
+  SELECT doc_id, "offset", media_ref,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS BIGINT) AS frame_idx
+  FROM media
+)
+SELECT doc_id, "offset", media_ref, frame_idx FROM idx
+WHERE frame_idx % {_FRAME_STRIDE} = 0
+"""
+
+
+QUERIES = {
+    "media_decode_meta": (media_decode_meta, None),
+    "media_resize_meta": (media_resize_meta, None),
+    "media_features": (media_features, None),
+    "media_frame_sample": (media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
+}

@@ -1,0 +1,65 @@
+"""Multimodal binary-column operators: Spark output == Spark-free kernel
+oracle, plus the frame-sample relational op vs its DuckDB oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from ocr_suite_spark.kernels import render
+from ocr_suite_spark.kernels.ocr import binarize
+from ocr_suite_spark.queries import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def meta_rows(spark):
+    return {
+        (r["doc_id"], r["offset"]): r for r in M.media_decode_meta(spark, SF).collect()
+    }
+
+
+def test_decode_meta_matches_kernels(spark, meta_rows):
+    refs = {
+        (r["doc_id"], r["offset"]): r["media_ref"]
+        for r in M._media_bytes(spark, SF).select("doc_id", "offset", "media_ref").collect()
+    }
+    assert meta_rows and len(meta_rows) == len(refs)
+    for key, ref in list(refs.items())[:50]:
+        img = render.decode_image(render.resolve_media(ref))
+        r = meta_rows[key]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["n_bytes"] == len(render.MAGIC) + 4 + img.size
+        assert r["ink_frac"] == round(float(binarize(img).mean()), 4)
+
+
+def test_resize_halves_dims(spark, meta_rows):
+    for r in M.media_resize_meta(spark, SF).collect():
+        full = meta_rows[(r["doc_id"], r["offset"])]
+        assert r["width"] == full["width"] // 2
+        assert r["height"] == full["height"] // 2
+        assert r["n_bytes"] == len(render.MAGIC) + 4 + r["width"] * r["height"]
+
+
+def test_features_shape_and_range(spark):
+    rows = M.media_features(spark, SF).collect()
+    assert rows
+    for r in rows[:100]:
+        v = np.array(r["feature"])
+        assert v.shape == (35,)
+        assert 0.0 <= v.min() and v.max() <= 1.0
+        assert v.max() > 0.0  # first word cell has ink
+
+
+def test_frame_sample_vs_duckdb(spark):
+    got = {
+        (r["doc_id"], r["offset"], r["media_ref"], r["frame_idx"])
+        for r in M.media_frame_sample(spark, SF).collect()
+    }
+    want = {
+        tuple(t)
+        for t in duckdb.sql(M.MEDIA_FRAME_SAMPLE_SQL).fetchall()
+    }
+    assert got == want and got
