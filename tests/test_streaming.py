@@ -65,3 +65,35 @@ def test_rate_meter_windows(spark, sf_dir):
     total = sum(r["n"] for r in rows)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == n_events  # windowed counts partition the stream
+
+
+def test_stateful_watermark_accumulates_across_restarts(spark, dirs):
+    """applyInPandasWithState per-doc watermark: state survives the
+    checkpoint across two AvailableNow drains (reference
+    last_processed_frame semantics, database.cpp:110-150)."""
+    import os
+
+    from ocr_suite_spark.streaming.stateful import stream_doc_watermarks
+
+    in_dir, _out, ckpt = dirs
+    os.makedirs(in_dir, exist_ok=True)
+    rows1 = [("d1", 0), ("d1", 4), ("d2", 2)]
+    rows2 = [("d1", 6), ("d2", 1), ("d3", 10)]
+    spark.createDataFrame(rows1, "doc_id string, offset int").write.mode("append").parquet(in_dir)
+
+    first = {
+        r["doc_id"]: (r["max_offset"], r["n_spans"])
+        for r in stream_doc_watermarks(spark, in_dir, ckpt).collect()
+    }
+    assert first == {"d1": (4, 2), "d2": (2, 1)}
+
+    spark.createDataFrame(rows2, "doc_id string, offset int").write.mode("append").parquet(in_dir)
+    second = {
+        r["doc_id"]: (r["max_offset"], r["n_spans"])
+        for r in stream_doc_watermarks(spark, in_dir, ckpt).collect()
+    }
+    # d2's new offset (1) is BELOW its watermark: max stays 2 (monotone
+    # guard), count still advances; d1 climbs; d3 appears fresh
+    assert second["d1"] == (6, 3)
+    assert second["d2"] == (2, 2)
+    assert second["d3"] == (10, 1)
