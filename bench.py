@@ -215,6 +215,10 @@ def run_scaling(n_docs: int = 20000, n: int = 6, n4: int = 24) -> dict:
     rounds = 2
     walls: dict[int, list] = {n: [], n4: []}
     results = {}
+    # hardware control BEFORE the heavy runs as well as after: the box's
+    # thermal state drifts under sustained load, and a control taken only
+    # after the hot 4N rounds under-reads the ceiling
+    ctl = {n: [_hw_control(n)], n4: [_hw_control(n4)]}
     for _ in range(rounds):
         for cores in (n, n4):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
@@ -235,11 +239,9 @@ def run_scaling(n_docs: int = 20000, n: int = 6, n4: int = 24) -> dict:
         results[cores]["docs_per_sec"] = round(results[cores]["n_docs"] / min(walls[cores]), 2)
     t_n, t_4n = results[n]["wall"], results[n4]["wall"]
     raw_eff = round((t_n / t_4n) / (n4 / n), 3)
-    # interleave the control too (same drift applies), best-of-2 each
-    ctl = {n: [], n4: []}
-    for _ in range(2):
-        ctl[n].append(_hw_control(n))
-        ctl[n4].append(_hw_control(n4))
+    # second control sample after the runs; best-of across both states
+    ctl[n].append(_hw_control(n))
+    ctl[n4].append(_hw_control(n4))
     ms_n, ms_4n = min(ctl[n]), min(ctl[n4])
     hw_eff = round(ms_n / ms_4n, 3)  # per-core slowdown from active-core count alone
     return {
