@@ -120,3 +120,29 @@ def test_synthesize_slices_disjoint(spark):
     }
     ra, rb = refs(a), refs(b)
     assert ra and rb and not (ra & rb)
+
+
+def test_extract_edge_inputs(spark):
+    """Empty input, text-only docs, media-only docs — the routed union must
+    handle an empty branch on either side (and the stats-sized salt
+    partitioning must not choke on zero-row estimates)."""
+    from ocr_suite_spark.schema import DOCUMENTS
+
+    empty = spark.createDataFrame([], DOCUMENTS)
+    assert X.extract(empty).count() == 0
+
+    text_only = spark.createDataFrame(
+        [("t1", [{"kind": "text", "text": "  alpha bq gamma  ", "media_ref": None, "offset": 0}])],
+        DOCUMENTS,
+    )
+    rows = {r["doc_id"]: r["spans"] for r in X.extract(text_only).collect()}
+    assert [s["text"] for s in rows["t1"]] == ["alpha gamma"]  # min-len strip
+
+    from ocr_suite_spark.kernels.render import make_media_ref
+
+    media_only = spark.createDataFrame(
+        [("m1", [{"kind": "media", "text": None, "media_ref": make_media_ref(["alpha"], 2, 5), "offset": 3}])],
+        DOCUMENTS,
+    )
+    rows = {r["doc_id"]: r["spans"] for r in X.extract(media_only).collect()}
+    assert [(s["kind"], s["text"], s["order"]) for s in rows["m1"]] == [("media", "alpha", 3)]
