@@ -12,13 +12,23 @@ operators/extract.py must stay semantically identical — tests enforce it.
 
 from __future__ import annotations
 
+import re
+
 from .. import MIN_TOKEN_LEN
+
+# ASCII \s ([ \t\n\r\f\v]) to match the engines exactly: Java regex \s in
+# the Spark Column twin and RE2 \s in the DuckDB oracle are ASCII-only,
+# while python's bare str.split() treats unicode whitespace (NBSP etc.)
+# as separators — that divergence would make this oracle wrong on
+# non-ASCII whitespace. Empty tokens from edge whitespace fall to the
+# min-length filter, so no separate trim is needed.
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def normalize_text(s: str | None) -> str:
     if not s:
         return ""
-    return " ".join(t for t in s.split() if len(t) >= MIN_TOKEN_LEN)
+    return " ".join(t for t in _WS.split(s) if len(t) >= MIN_TOKEN_LEN)
 
 
 def ocr_words_to_text(words: list[str]) -> str:

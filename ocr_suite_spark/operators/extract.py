@@ -44,11 +44,13 @@ _WORDS_SCHEMA = (
 def normalize_text_col(c: Column) -> Column:
     """Column-expression twin of kernels.textnorm.normalize_text.
 
-    trim -> whitespace split -> drop tokens shorter than MIN_TOKEN_LEN ->
+    ASCII-whitespace split -> drop tokens shorter than MIN_TOKEN_LEN ->
     re-join. Mirrors /root/reference util.h:13-26 + tesseract.cpp:113-115.
+    No trim: the length filter drops empty edge tokens, and engine trims
+    disagree on unicode whitespace (tests/test_textnorm_property.py).
     """
     toks = F.filter(
-        F.split(F.trim(c), r"\s+"), lambda t: F.length(t) >= MIN_TOKEN_LEN
+        F.split(c, r"\s+"), lambda t: F.length(t) >= MIN_TOKEN_LEN
     )
     return F.array_join(toks, " ")
 

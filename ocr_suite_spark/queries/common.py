@@ -14,15 +14,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens of length >= MIN_TOKEN_LEN (the core normalizer,
-    reference tesseract.cpp:113-115). DuckDB twin:
-    list_filter(string_split_regex(trim(text),'\\s+'), x -> length(x) >= 3)."""
+    reference tesseract.cpp:113-115). No trim: the length filter drops the
+    empty edge tokens a split produces, and the engines' trims disagree on
+    unicode whitespace (DuckDB strips NBSP, Spark/Java strip ASCII space
+    only) — see tests/test_textnorm_property.py. DuckDB twin: DUCK_TOKENS."""
     return F.filter(
-        F.split(F.trim(text), r"\s+"), lambda x: F.length(x) >= MIN_TOKEN_LEN
+        F.split(text, r"\s+"), lambda x: F.length(x) >= MIN_TOKEN_LEN
     )
 
 
 # DuckDB fragment for the same token list
-DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) >= 3)"
+DUCK_TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 3)"
 
 
 def fsec(col: Column) -> Column:

@@ -17,7 +17,9 @@ def p6_word_split_pos(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: F.length(x) >= 1)
+        ).alias("pos", "word"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
 
 
@@ -25,7 +27,7 @@ P6_SQL = r"""
 SELECT doc_id,
        CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
        unnest(toks) AS word
-FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1) AS toks FROM documents)
 """
 
 # ---------------------------------------------------------------------------

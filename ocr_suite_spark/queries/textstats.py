@@ -65,7 +65,7 @@ def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic document quality: kept-token ratio, length saturation,
     stopword ratio — combined and floored at 3 decimals."""
     docs = t(spark, sf, "documents")
-    all_toks = F.split(F.trim("text"), r"\s+")
+    all_toks = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) >= 1)
     kept = tokens_col(F.col("text"))
     stop_all = tuple(w for ws in STOPWORDS.values() for w in ws)
     n_all = F.size(all_toks).cast("long")
@@ -91,9 +91,9 @@ _STOP_ALL = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
 QUALITY_SQL = rf"""
 WITH s AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1)) AS BIGINT) AS n_tokens,
          CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_kept,
-         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1),
                               x -> x IN ({_STOP_ALL}))) AS BIGINT) AS n_stop
   FROM documents
 )
@@ -111,7 +111,7 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting three ways: whitespace split, word-regex matches, and
     a BPE-ish greedy <=4-char chunking — all JVM-side regex, no UDFs."""
     docs = t(spark, sf, "documents")
-    ws = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: F.length(x) >= 1)).cast("long")
     words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).cast("long")
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), F.lit(0))).cast("long")
     return docs.select(
@@ -124,7 +124,7 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1)) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_chunks
 FROM documents
