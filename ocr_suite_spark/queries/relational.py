@@ -533,6 +533,69 @@ LIMIT 10
 """
 
 
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + single agg.
+
+    Scale: every predicate reaches the parquet scan (PushedFilters) and
+    only 3 columns are read — the canonical pushdown/pruning showcase.
+    """
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,4)") * F.col("l_discount").cast("decimal(9,4)")
+    return li.agg(
+        (F.floor(F.sum(rev).cast("double") * 100) / 100).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) * 100) / 100 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation by group
+    (adapted to the testdata's reduced lineitem schema: l_linestatus plays
+    the shipmode role).
+
+    Scale: lineitem filter pushes to the scan before the join; the join
+    key is orders' PK so AQE picks broadcast-vs-shuffle by actual size.
+    """
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
 QUERIES = {
     "a1_watermark_max": (a1_watermark_max, A1_SQL),
     "a3_resume_antijoin": (a3_resume_antijoin, A3_SQL),
@@ -555,4 +618,6 @@ QUERIES = {
     "s15_json_parse": (s15_json_parse, S15_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
 }
