@@ -347,6 +347,86 @@ WHERE FLOOR(list_dot_product(a.emb, b.emb)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over the candidate-pair graph
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph by
+    iterative min-label propagation — turns near-dup PAIRS into dedup
+    CLUSTERS with a canonical keeper (cluster_id = min doc_id reachable).
+
+    The iterative Spark pattern: each round joins labels across edges,
+    takes the elementwise min, and stops when no label changed. Rounds
+    needed = graph diameter (near-dup clusters are shallow; the cap
+    asserts convergence rather than guessing). localCheckpoint() per
+    round truncates the exploding lineage — THE standard discipline for
+    driver-iterated algorithms (at scale: checkpoint to HDFS instead).
+    Scale: each round is one shuffle join on doc_id; GraphFrames'
+    connectedComponents does the same dance with alternation
+    optimizations.
+    """
+    pairs = dedup_minhash_pairs(spark, sf)
+    # undirected edge list, both directions
+    e_ab = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e_ab.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # >= diameter of any near-dup cluster here
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 20 rounds")
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# DuckDB oracle: transitive closure via recursive CTE; cluster id = min
+# reachable node. UNION (not UNION ALL) deduplicates visited pairs so the
+# recursion terminates on cyclic (undirected) graphs.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signature": (dedup_minhash_signature, DEDUP_MINHASH_SIG_SQL),
@@ -354,4 +434,5 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }
