@@ -62,6 +62,33 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
+def explode_media_meta(documents: DataFrame) -> DataFrame:
+    """Media-span metadata WITHOUT the text field.
+
+    Catalyst's nested-schema pruning does not reach through
+    explode(spans)+field-select (the scan reads the whole struct,
+    measured), but field extraction on the array DOES prune — so the
+    media branch explodes an arrays_zip of exactly the three arrays it
+    needs. At 100 TB this is the difference between the media branch
+    re-reading the entire text corpus and reading ~10% of it
+    (ReadSchema: spans:array<struct<kind,media_ref,offset>>).
+    """
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.col("spans.kind").alias("kind"),
+                    F.col("spans.media_ref").alias("media_ref"),
+                    F.col("spans.offset").alias("offset"),
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+
+
 def make_ocr_fn(meter=None):
     """Build the mapInPandas fn: (doc_id, offset, media_ref) -> + recognized
     text.
@@ -199,7 +226,7 @@ def extract_flat(
         normalize_text_col(F.col("text")).alias("text"),
         F.col("media_ref"),
     )
-    media_in = ex.where(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
+    media_in = explode_media_meta(documents)  # pruned scan: no text field
     media_out = _salted(media_in, salt_partitions).mapInPandas(
         make_ocr_fn(meter), schema=_FLAT_SCHEMA
     )
@@ -238,8 +265,7 @@ def extract(
 
 def extract_words(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """Word-level OCR output with bboxes (reference ocr_result entries)."""
-    ex = explode_spans(documents)
-    media_in = ex.where(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
+    media_in = explode_media_meta(documents)  # pruned scan: no text field
     return _salted(media_in, salt_partitions).mapInPandas(
         _ocr_words_batches, schema=_WORDS_SCHEMA
     )
