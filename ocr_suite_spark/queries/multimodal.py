@@ -40,12 +40,10 @@ def _media_bytes(spark: SparkSession, sf: str) -> DataFrame:
     would arrive as a column of the Iceberg table or via binaryFile scan
     (S5), with identical downstream plumbing.
     """
+    from ..operators.extract import explode_media_meta
+
     docs = datagen.materialized_corpus(spark, sf)
-    media = (
-        docs.select("doc_id", F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "media")
-        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
-    )
+    media = explode_media_meta(docs)  # pruned scan: no text field
 
     def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import render
@@ -176,13 +174,10 @@ _FIXTURE = "/root/repo/tests/fixtures/interleaved_sf0.01.parquet"
 
 
 def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.extract import explode_media_meta
+
     docs = spark.read.parquet(_FIXTURE)
-    media = (
-        docs.select("doc_id", F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "media")
-        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
-    )
-    return frame_sample(media)
+    return frame_sample(explode_media_meta(docs))
 
 
 MEDIA_FRAME_SAMPLE_SQL = f"""
