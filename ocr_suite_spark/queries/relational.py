@@ -112,7 +112,8 @@ def j3_pair_by_key(spark: SparkSession, sf: str) -> DataFrame:
 J3_SQL = """
 SELECT d.doc_id, d.source, s.total_chars
 FROM documents d
-JOIN (SELECT source, SUM(n_chars) AS total_chars FROM documents GROUP BY source) s
+JOIN (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source) s
   USING (source)
 """
 
@@ -154,21 +155,22 @@ def a6_match_count(spark: SparkSession, sf: str) -> DataFrame:
 A6_SQL = "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
 
 # ---------------------------------------------------------------------------
-# W1 — global sort by timestamp (results.cpp:123-126). Global window = single
-# partition; fine for top-K. At scale: orderBy(ts).limit(k) lets Spark do a
-# distributed TakeOrdered instead.
+# W1 — global sort by timestamp (results.cpp:123-126). Top-K via
+# orderBy().limit(k): Spark plans a distributed TakeOrderedAndProject
+# (per-partition top-k, then a k-row merge on the driver) — no row ever
+# funnels through a single-task global window. The rank column the oracle
+# needs is computed AFTER the limit, so its unpartitioned window sees only
+# the 100 survivors (plan-audited in tests/test_sources.py).
 
 
 def w1_global_sort(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events")
+    top = ev.select("event_id", "ts").orderBy("ts", "event_id").limit(100)
     rn = F.row_number().over(W.orderBy("ts", "event_id"))
-    return (
-        ev.select(
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-            rn.alias("rn"),
-        )
-        .where(F.col("rn") <= 100)
+    return top.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        rn.alias("rn"),
     )
 
 
@@ -204,7 +206,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
        CAST(EXTRACT(minute FROM ts) AS BIGINT) AS minute,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(value) AS BIGINT)) AS sum_value_floor
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_value_floor
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -293,7 +295,7 @@ def o1_size_ranked_assign(spark: SparkSession, sf: str) -> DataFrame:
 
 O1_SQL = """
 SELECT source, total_chars, rnk, (rnk - 1) % 4 AS worker
-FROM (SELECT source, SUM(n_chars) AS total_chars,
+FROM (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS BIGINT) AS rnk
       FROM documents GROUP BY source)
 """

@@ -41,6 +41,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _num_kind(v) -> str:
+    """'i' / 'f' / 'o': the distinction the driver's value hash is sensitive
+    to. DuckDB SUM(BIGINT) returns HUGEINT which pandas renders as float64,
+    so spark int64 3 vs duck float64 3.0 hash-differ even though `==` says
+    equal — the r1 j3/w2/o1 failure mode. Int widths are NOT distinguished
+    (the driver tolerated int32 vs int64 in r1's w1)."""
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return "o"
+    if isinstance(v, (int, np.integer)):
+        return "i"
+    if isinstance(v, (float, np.floating)):
+        return "f"
+    return "o"
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Returns a list of problems; empty == match."""
     problems = []
@@ -59,7 +76,7 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
             same = (
                 (x is None and y is None)
                 or (isinstance(x, float) and isinstance(y, float) and math.isnan(x) and math.isnan(y))
-                or x == y
+                or (x == y and _num_kind(x) == _num_kind(y))
             )
             if not same:
                 problems.append(f"col {c} row {i}: spark={x!r} ({type(x).__name__}) duck={y!r} ({type(y).__name__})")

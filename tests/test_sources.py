@@ -112,6 +112,22 @@ def test_text_path_is_jvm_side(spark, sf_dir):
     assert "ReadSchema: struct<text:string>" in plan
 
 
+def test_plan_w1_topk_is_take_ordered(spark, sf_dir):
+    """W1: the global top-100 must plan as TakeOrderedAndProject (distributed
+    per-partition top-k + k-row merge), and the rank window must sit ABOVE
+    the limit so it only ever sees 100 rows — never a full-table single-task
+    global window (the r1 anti-pattern)."""
+    from ocr_suite_spark.queries.relational import w1_global_sort
+
+    plan = w1_global_sort(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    take_pos = plan.find("TakeOrderedAndProject")
+    win_pos = plan.find("Window")
+    assert take_pos > 0, plan
+    # executed plans print top-down: the Window node appears before (above)
+    # the TakeOrderedAndProject feeding it
+    assert 0 < win_pos < take_pos, plan
+
+
 def test_plan_ann_broadcasts_query_side(spark):
     """ANN joins must build (broadcast) the tiny QUERY side, never the
     corpus: BuildLeft with queries on the left is the only shape that
