@@ -22,10 +22,14 @@ from . import dedup, extraction, multimodal, relational, scalars, similarity, te
 _MODULES = [relational, scalars, dedup, similarity, textstats, extraction, multimodal]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+# queries whose oracle is a committed sf0.01 golden fixture (regenerate via
+# tests/gen_goldens.py) — parity holds at sf0.01 only, not other SFs
+GOLDEN_QUERIES: set[str] = set()
 for m in _MODULES:
     for name, pair in m.QUERIES.items():
         assert name not in REGISTRY, f"duplicate query {name}"
         REGISTRY[name] = pair
+    GOLDEN_QUERIES |= getattr(m, "GOLDEN_QUERIES", set())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -10,6 +12,24 @@ from .. import MIN_TOKEN_LEN
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Golden-fixture oracles (the VERDICT r1 'media_frame_sample pattern',
+# generalized): for UDF-backed queries DuckDB cannot express, the expected
+# output at sf0.01 is committed as a parquet fixture and the oracle is a
+# plain read of it. Valid ONLY at sf0.01 (the driver's correctness SF);
+# regenerate with `python tests/gen_goldens.py` whenever datagen or the
+# kernels change. Input identity holds because datagen is pure xxhash64
+# Column exprs (no RNG state) and the kernels are deterministic.
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+GOLDEN_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures", "golden")
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+
+
+def golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"
 
 
 def tokens_col(text: Column) -> Column:

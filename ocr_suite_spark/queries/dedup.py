@@ -311,8 +311,14 @@ def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+COS_THRESHOLD = 0.3  # sf0.01 cosines top out at ~0.45: 0.3 keeps ~111 pairs,
+# so the gate exercises real value comparison (r1's 0.5 passed vacuously on
+# 0 rows); production near-dup sweeps would sit at 0.9+ on real embeddings
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs by embedding cosine >= 0.5 within the same label.
+    """Near-dup pairs by embedding cosine >= COS_THRESHOLD within the same
+    label.
 
     Scale: label is the blocking key (same role as the LSH band); within a
     block the pair join is quadratic, so real corpora block on coarse ANN
@@ -330,11 +336,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             (F.floor(cos * 1000) / 1000).alias("cos3"),
         )
-        .where(F.col("cos3") >= 0.5)
+        .where(F.col("cos3") >= COS_THRESHOLD)
     )
 
 
-DEDUP_EMB_COS_SQL = """
+DEDUP_EMB_COS_SQL = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        FLOOR(list_dot_product(a.emb, b.emb)
@@ -343,7 +349,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE FLOOR(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
-            * 1000) / 1000 >= 0.5
+            * 1000) / 1000 >= {COS_THRESHOLD}
 """
 
 

@@ -15,9 +15,10 @@ preprocessing the north star names (grayscale/threshold/segmentation).
 
 Oracle strategy: byte-level kernels are not SQL-expressible, so
 ``media_decode_meta`` / ``media_resize_meta`` / ``media_features`` are
-registered rows-only (their correctness gate is tests/test_multimodal.py:
-exact equality vs the shared Spark-free kernels); ``media_frame_sample``
-is pure relational (offset-stride sampling) and carries a DuckDB oracle.
+graded against committed sf0.01 golden fixtures (common.golden_sql — the
+kernels' unit gate stays tests/test_multimodal.py: exact equality vs the
+shared Spark-free kernels); ``media_frame_sample`` is pure relational
+(offset-stride sampling) and carries a recomputing DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
+from .common import golden_sql
 
 _FRAME_STRIDE = 2  # keep every 2nd media span per doc (I/P-frame analog)
 
@@ -118,7 +120,7 @@ def media_resize_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def media_features(spark: SparkSession, sf: str) -> DataFrame:
+def media_feature_vectors(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-extract: the recognizer's own 7x5 mean-ink grid of the first
     segmented word as a dense array<float> embedding per media span —
     the same downsampling kernel the OCR matcher scores against."""
@@ -149,6 +151,17 @@ def media_features(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "offset", "feature"])
 
     return src.mapInPandas(feats, "doc_id string, offset int, feature array<float>")
+
+
+def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded projection of media_feature_vectors: the driver's
+    canonicalizer cannot hash list cells, so the array<float> embedding is
+    serialized with to_json (deterministic float formatting — the golden
+    was produced by the same engine). Use media_feature_vectors for the
+    array-typed API."""
+    return media_feature_vectors(spark, sf).select(
+        "doc_id", "offset", F.to_json("feature").alias("feature_json")
+    )
 
 
 def frame_sample(media: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
@@ -197,8 +210,11 @@ WHERE frame_idx % {_FRAME_STRIDE} = 0
 
 
 QUERIES = {
-    "media_decode_meta": (media_decode_meta, None),
-    "media_resize_meta": (media_resize_meta, None),
-    "media_features": (media_features, None),
+    "media_decode_meta": (media_decode_meta, golden_sql("media_decode_meta")),
+    "media_resize_meta": (media_resize_meta, golden_sql("media_resize_meta")),
+    "media_features": (media_features, golden_sql("media_features")),
     "media_frame_sample": (media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
 }
+
+# sf0.01-pinned golden-backed names (see queries.extraction.GOLDEN_QUERIES)
+GOLDEN_QUERIES = {"media_decode_meta", "media_resize_meta", "media_features"}

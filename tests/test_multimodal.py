@@ -44,7 +44,7 @@ def test_resize_halves_dims(spark, meta_rows):
 
 
 def test_features_shape_and_range(spark):
-    rows = M.media_features(spark, SF).collect()
+    rows = M.media_feature_vectors(spark, SF).collect()
     assert rows
     for r in rows[:100]:
         v = np.array(r["feature"])

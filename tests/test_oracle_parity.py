@@ -11,16 +11,24 @@ import pytest
 sys.path.insert(0, str(Path(__file__).parent))
 from driver_sim import compare, duck_con  # noqa: E402
 
-from ocr_suite_spark.queries import REGISTRY  # noqa: E402
+from ocr_suite_spark.queries import GOLDEN_QUERIES, REGISTRY  # noqa: E402
+from ocr_suite_spark.queries.common import GOLDEN_SF_DIR  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-ORACLE_QUERIES = sorted(name for name, (_, sql) in REGISTRY.items() if sql)
+ORACLE_QUERIES = sorted(
+    name for name, (_, sql) in REGISTRY.items() if sql and name not in GOLDEN_QUERIES
+)
 
 
 @pytest.fixture(scope="module")
 def duck():
     return duck_con(SF)
+
+
+@pytest.fixture(scope="module")
+def duck_medium():
+    return duck_con(GOLDEN_SF_DIR)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -30,7 +38,20 @@ def test_oracle_parity(spark, duck, name):
     assert not problems, problems
 
 
-def test_rows_only_queries_return_rows(spark):
-    for name, (fn, sql) in REGISTRY.items():
-        if sql is None and not name.startswith("extract"):
-            assert fn(spark, SF).count() >= 0, name
+@pytest.mark.parametrize("name", sorted(GOLDEN_QUERIES))
+def test_golden_parity(spark, duck_medium, name):
+    """Golden freshness: the Spark query at sf0.01 must still equal its
+    committed fixture — catches kernel/datagen drift that would silently
+    invalidate goldens (regenerate with tests/gen_goldens.py)."""
+    fn, sql = REGISTRY[name]
+    problems = compare(
+        fn(spark, GOLDEN_SF_DIR).toPandas(), duck_medium.execute(sql).df()
+    )
+    assert not problems, problems
+
+
+def test_every_query_has_an_oracle():
+    """r2 invariant: zero rows-only queries — everything registered is
+    value-level gradeable (recomputing SQL or golden fixture)."""
+    missing = [name for name, (_, sql) in REGISTRY.items() if sql is None]
+    assert missing == [], missing
