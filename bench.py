@@ -95,9 +95,27 @@ def run_bench(cores: int, sf_dir: str, names: list[str]) -> dict:
     scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
     if os.path.exists(scaling_file):  # last `--scaling` run (protocol in BENCH.md)
         with open(scaling_file) as f:
-            out["scaling"] = json.load(f)
+            scaling = json.load(f)
+        # only attach as current if it was measured at this exact code state;
+        # otherwise label it so a stale scaling run can't masquerade as part
+        # of this bench (ADVICE r1)
+        if scaling.get("git_commit") == _git_head():
+            out["scaling"] = scaling
+        else:
+            out["scaling_prior_run"] = scaling
     spark.stop()
     return out
+
+
+def _git_head() -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
 
 
 def run_flagship_once(cores: int, n_docs: int) -> dict:
@@ -180,13 +198,25 @@ def _hw_control(nproc: int, n_imgs: int = 400) -> float:
         q.put((time.perf_counter() - t0) / n_imgs * 1e3)
 
     old_aff = os.sched_getaffinity(0)
-    os.sched_setaffinity(0, set(range(nproc)))
+    # derive the pin set from the ALLOWED cpuset, not 0..nproc-1: a container
+    # with a restricted/offset cpuset would otherwise raise OSError (ADVICE r1)
+    pin = set(sorted(old_aff)[:nproc])
+    os.sched_setaffinity(0, pin)
     try:
         q = mp.Queue()
         ps = [mp.Process(target=worker, args=(q, k * 7919)) for k in range(nproc)]
         for p in ps:
             p.start()
-        per = sorted(q.get() for _ in ps)
+        per = []
+        for _ in ps:
+            try:
+                per.append(q.get(timeout=300))
+            except Exception:
+                alive = sum(p.is_alive() for p in ps)
+                raise RuntimeError(
+                    f"hw-control worker produced no result ({alive} still alive)"
+                ) from None
+        per.sort()
         for p in ps:
             p.join()
         return per[len(per) // 2]
@@ -243,7 +273,10 @@ def run_scaling(n_docs: int = 20000, n: int = 6, n4: int = 24) -> dict:
     ctl[n].append(_hw_control(n))
     ctl[n4].append(_hw_control(n4))
     ms_n, ms_4n = min(ctl[n]), min(ctl[n4])
-    hw_eff = round(ms_n / ms_4n, 3)  # per-core slowdown from active-core count alone
+    # per-core slowdown from active-core count alone, clamped at 1.0: a
+    # measured ceiling above 1.0 is noise (more active cores cannot speed up
+    # each core) and would asymmetrically deflate spark_layer_eff (ADVICE r1)
+    hw_eff = round(min(ms_n / ms_4n, 1.0), 3)
     return {
         "metric": "scaling_efficiency_n_to_4n",
         "value": raw_eff,
@@ -272,6 +305,7 @@ if __name__ == "__main__":
     if "--scaling" in args:
         n_docs = int(args[args.index("--scaling") + 1]) if args.index("--scaling") + 1 < len(args) and args[args.index("--scaling") + 1].isdigit() else 20000
         res = run_scaling(n_docs)
+        res["git_commit"] = _git_head()  # staleness key for run_bench attach
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w") as f:
             json.dump(res, f)
         print(json.dumps(res))

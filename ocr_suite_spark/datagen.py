@@ -141,6 +141,8 @@ def materialized_corpus(
     """
     import os
 
+    from . import tableio
+
     key = f"synth{n_synth}" if n_synth else sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"{cache_root}/{key}"
     marker = f"{path}/_SUCCESS"
@@ -156,8 +158,8 @@ def materialized_corpus(
         # reader at parallelism 6 — the scaling bench's 4N level must not
         # inherit the N level's layout. (At real scale the table arrives
         # pre-partitioned by the ingest job.)
-        df.repartition(64).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        tableio.write_table(df.repartition(64), path, mode="overwrite")
+    return tableio.read_table(spark, path)
 
 
 def synthesize(

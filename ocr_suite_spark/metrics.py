@@ -53,3 +53,60 @@ class SpeedMeter:
             ocr_s=self.ocr_s.value,
             wall_s=time.time() - self._t0,
         )
+
+
+class PeriodicReporter:
+    """T7: the reference prints an OCR/s + seek/s line every 5 seconds from
+    its meter thread (/root/reference src/recognition/speed_meter.cpp:35-58,
+    ocr.cpp:46-52). Spark analog: a daemon timer on the DRIVER that
+    snapshots the accumulator bundle mid-job — accumulator values are
+    readable while tasks run, so the cadence is real-time, not
+    end-of-action. Interval-rate math mirrors the reference (delta since
+    the previous tick, not a lifetime mean).
+
+    Use as a context manager around an action:
+
+        with PeriodicReporter(meter, sink=print):
+            df.write...
+    """
+
+    def __init__(self, meter: SpeedMeter, interval_s: float = 5.0, sink=None):
+        import threading
+
+        self.meter = meter
+        self.interval_s = interval_s
+        self.sink = sink or (lambda line: print(line, flush=True))
+        self.reports: list[dict] = []
+        self._prev = meter.snapshot()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _tick(self) -> None:
+        snap = self.meter.snapshot()
+        dt = snap.wall_s - self._prev.wall_s
+        d_img = snap.n_images - self._prev.n_images
+        rate = d_img / dt if dt > 0 else 0.0
+        report = {
+            "images_per_sec": round(rate, 2),
+            "n_images_total": snap.n_images,
+            "decode_s_total": round(snap.decode_s, 3),
+            "ocr_s_total": round(snap.ocr_s, 3),
+            "wall_s": round(snap.wall_s, 3),
+        }
+        self.reports.append(report)
+        self.sink(f"[speed] {report['images_per_sec']} images/s "
+                  f"({report['n_images_total']} total, {report['wall_s']}s)")
+        self._prev = snap
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            self._tick()
+
+    def __enter__(self) -> "PeriodicReporter":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=self.interval_s + 1)
+        self._tick()  # final report so short jobs still get one line

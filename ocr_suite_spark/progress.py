@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import tableio
+
 PROGRESS_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
@@ -68,7 +70,7 @@ class ProgressStore:
 
     def read(self) -> DataFrame:
         try:
-            return self.spark.read.schema(PROGRESS_SCHEMA).parquet(self.path)
+            return tableio.read_table(self.spark, self.path, schema=PROGRESS_SCHEMA)
         except Exception:
             return self.spark.createDataFrame([], PROGRESS_SCHEMA)
 
@@ -85,7 +87,7 @@ class ProgressStore:
             [tuple(r.get(f.name) for f in PROGRESS_SCHEMA.fields) for r in rows],
             PROGRESS_SCHEMA,
         )
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        tableio.append_table(df.coalesce(1), self.path)
 
 
 def extract_resumable(
@@ -118,13 +120,12 @@ def extract_resumable(
     merged = X.extract(pending.drop("bucket"), salt_partitions=salt_partitions, meter=meter)
     result = merged.withColumn("bucket", bucket_col(n_buckets))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    result.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+    tableio.write_table(result, out_dir, mode="overwrite", partition_by=["bucket"])
     wall = time.time() - t0
 
     # per-bucket metrics + lineage from the *written* output (one extra scan
     # of the small output, not a recompute of the pipeline)
-    out = spark.read.parquet(out_dir).join(
+    out = tableio.read_table(spark, out_dir).join(
         store.done_buckets(run_id), "bucket", "left_anti"
     )
     stats = (
@@ -169,4 +170,4 @@ def extract_resumable(
             for r in stats
         ]
     )
-    return spark.read.parquet(out_dir)
+    return tableio.read_table(spark, out_dir)

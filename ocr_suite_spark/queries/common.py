@@ -43,8 +43,11 @@ def tokens_col(text: Column) -> Column:
     )
 
 
-# DuckDB fragment for the same token list
-DUCK_TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 3)"
+# DuckDB fragment for the same token list. Explicit ASCII-whitespace class,
+# NOT \s: RE2's \s is [\t\n\f\r ] (no vertical tab) while Java's and
+# Python-ASCII's \s include \x0b — a bare \s here would silently diverge on
+# \v-containing text (covered in tests/test_textnorm_property.py).
+DUCK_TOKENS = r"list_filter(string_split_regex(text, '[ \t\n\r\f\x0b]+'), x -> length(x) >= 3)"
 
 
 def fsec(col: Column) -> Column:

@@ -233,15 +233,37 @@ SELECT doc_id, CAST({_DUCK_SIMHASH_FP} AS BIGINT) AS simhash FROM agg
 # n-gram Jaccard similarity on candidate pairs
 
 
+# Hot-shingle document-frequency cap: shingles appearing in more than this
+# many documents are boilerplate (headers, licenses, templates) — they blow
+# up the inverted-index self-join quadratically per shingle while carrying
+# no near-dup signal. Dropping them BEFORE the join is the standard skew
+# defense on boilerplate-heavy corpora (AQE skew-split then handles what's
+# left). 5 here so the path is exercised at test SF (max DF is 8 at
+# sf0.01); production corpora use 10^3-10^4. The capped sets are used for
+# BOTH candidate generation and Jaccard scoring, so the score is the
+# Jaccard of the rare-shingle sets — the oracle mirrors this exactly.
+MAX_SHINGLE_DF = 5
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Pairwise Jaccard over distinct 3-gram shingle sets, restricted to
-    same-lang pairs sharing at least one shingle.
+    """Pairwise Jaccard over distinct 3-gram shingle sets (document
+    frequency <= MAX_SHINGLE_DF), restricted to same-lang pairs sharing at
+    least one surviving shingle.
 
     Scale: the shingle equi-join IS the candidate generator (inverted
     index); all-pairs never materializes. Jaccard from |A∩B| and set sizes.
     """
     docs = t(spark, sf, "documents")
-    sh = shingle_rows(docs).select("doc_id", "lang", "sh").distinct()
+    sh_all = shingle_rows(docs).select("doc_id", "lang", "sh").distinct()
+    # hot-shingle cap: the `hot` side is tiny by construction (only shingles
+    # above the DF cap), so AQE broadcasts the anti-join build side
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    sh = sh_all.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -278,9 +300,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, lang, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM documents
 ),
+hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+sh AS (SELECT * FROM sh_all WHERE sh NOT IN (SELECT sh FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -359,16 +383,21 @@ WHERE FLOOR(list_dot_product(a.emb, b.emb)
 # dedup clusters: connected components over the candidate-pair graph
 
 
-def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf: str, max_rounds: int | None = None
+) -> DataFrame:
     """Connected components over the MinHash candidate-pair graph by
     iterative min-label propagation — turns near-dup PAIRS into dedup
     CLUSTERS with a canonical keeper (cluster_id = min doc_id reachable).
 
     The iterative Spark pattern: each round joins labels across edges,
     takes the elementwise min, and stops when no label changed. Rounds
-    needed = graph diameter (near-dup clusters are shallow; the cap
-    asserts convergence rather than guessing). localCheckpoint() per
-    round truncates the exploding lineage — THE standard discipline for
+    needed = graph diameter; ``max_rounds`` defaults to the node count —
+    a guaranteed-sufficient bound (diameter < |V|), so legitimate long
+    chains converge instead of erroring (ADVICE r1), while the loop still
+    exits on the first no-change round (near-dup clusters are shallow, so
+    in practice a handful of rounds). localCheckpoint() per round
+    truncates the exploding lineage — THE standard discipline for
     driver-iterated algorithms (at scale: checkpoint to HDFS instead).
     Scale: each round is one shuffle join on doc_id; GraphFrames'
     connectedComponents does the same dance with alternation
@@ -385,7 +414,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # >= diameter of any near-dup cluster here
+    if max_rounds is None:
+        # diameter < |V| always; the count is one cheap job over the
+        # checkpointed node set and the loop exits on first quiescence
+        max_rounds = max(labels.count(), 1)
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -409,7 +442,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise RuntimeError("label propagation did not converge in 20 rounds")
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(unreachable with the default |V| bound; indicates a non-"
+            "deterministic edge set)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

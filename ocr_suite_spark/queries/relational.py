@@ -97,6 +97,36 @@ WHERE tk.value LIKE 's%'
 GROUP BY 1, 2
 """
 
+# J2b — the shipped-path id mint: dictionary ids as 64-bit hash prefixes.
+# j1's dense_rank mint funnels the distinct vocabulary through one task
+# (kept there for the reference's dense 1..V numbering); THIS is the
+# variant you'd ship at 10^12 docs — the id is minted during the distinct
+# groupBy itself, embarrassingly parallel, no window anywhere. md5 rather
+# than xxhash64 only so DuckDB can mirror the mint bit-exactly; the
+# dataflow is identical. Collision odds at 64 bits ~ n^2/2^65 — negligible
+# below ~10^9 distinct tokens; widen to the full md5 beyond.
+
+
+def j2_hash_id_mint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("value"))
+    return (
+        toks.groupBy("value")
+        .agg(F.count("*").alias("n_inst"))
+        .select(
+            F.substring(F.md5("value"), 1, 16).alias("text_entry_id"),
+            "value",
+            "n_inst",
+        )
+    )
+
+
+J2_HASH_SQL = f"""
+WITH toks AS (SELECT unnest({DUCK_TOKENS}) AS value FROM documents)
+SELECT substr(md5(value), 1, 16) AS text_entry_id, value, COUNT(*) AS n_inst
+FROM toks GROUP BY value
+"""
+
 # ---------------------------------------------------------------------------
 # J3 — pairing by derived key (search.cpp:139-143) as join vs per-key totals
 
@@ -208,6 +238,73 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_value_floor
 FROM events GROUP BY 1, 2, 3
+"""
+
+# W2b — the viewer's NESTED rollup tree (search_results_view.cpp:74-137
+# builds a strictly nested day -> hour -> minute hierarchy, each node
+# carrying its subtree count). Built the way the viewer builds it: minute
+# leaves first, then collect_list into sorted hour nodes, then into sorted
+# day nodes — each level is a map-side-partial shuffle on a strictly
+# coarser key, so the tree costs two extra cheap shuffles over the flat
+# rollup and the collected arrays are bounded (<=60 minutes/hour,
+# <=24 hours/day) regardless of corpus size.
+#
+# The driver's canonicalizer cannot hash nested arrays, so the GRADED
+# output explodes the finished tree back to annotated leaves
+# (day, day_n, hour, hour_n, minute, n): every parent total appears on its
+# leaves, which pins the nesting numerically while staying hashable. The
+# nested DataFrame itself is the public API (w2_tree, below).
+
+
+def w2_tree(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    m = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.minute("ts").cast("long").alias("minute"),
+    ).agg(F.count("*").alias("n"))
+    h = m.groupBy("day", "hour").agg(
+        F.sort_array(F.collect_list(F.struct("minute", "n"))).alias("minutes"),
+        F.sum("n").alias("hour_n"),
+    )
+    return h.groupBy("day").agg(
+        F.sort_array(F.collect_list(F.struct("hour", "hour_n", "minutes"))).alias("hours"),
+        F.sum("hour_n").alias("day_n"),
+    )
+
+
+def w2_tree_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    tree = w2_tree(spark, sf)
+    return (
+        tree.select("day", "day_n", F.explode("hours").alias("h"))
+        .select(
+            "day",
+            "day_n",
+            F.col("h.hour").alias("hour"),
+            F.col("h.hour_n").alias("hour_n"),
+            F.explode("h.minutes").alias("m"),
+        )
+        .select(
+            "day", "day_n", "hour", "hour_n",
+            F.col("m.minute").alias("minute"), F.col("m.n").alias("n"),
+        )
+    )
+
+
+W2_TREE_SQL = """
+WITH m AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(EXTRACT(minute FROM ts) AS BIGINT) AS minute,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT day,
+       CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT) AS day_n,
+       hour,
+       CAST(SUM(n) OVER (PARTITION BY day, hour) AS BIGINT) AS hour_n,
+       minute, n
+FROM m
 """
 
 # ---------------------------------------------------------------------------
@@ -602,11 +699,13 @@ QUERIES = {
     "a1_watermark_max": (a1_watermark_max, A1_SQL),
     "a3_resume_antijoin": (a3_resume_antijoin, A3_SQL),
     "j1_dict_like_join": (j1_dict_like_join, J1_SQL),
+    "j2_hash_id_mint": (j2_hash_id_mint, J2_HASH_SQL),
     "j3_pair_by_key": (j3_pair_by_key, J3_SQL),
     "a5_group_collect_ordered": (a5_group_collect_ordered, A5_SQL),
     "a6_match_count": (a6_match_count, A6_SQL),
     "w1_global_sort": (w1_global_sort, W1_SQL),
     "w2_time_rollup": (w2_time_rollup, W2_SQL),
+    "w2_tree_rollup": (w2_tree_rollup, W2_TREE_SQL),
     "p11_relative_time": (p11_relative_time, P11_SQL),
     "w3_running_max": (w3_running_max, W3_SQL),
     "w4_lead_lag": (w4_lead_lag, W4_SQL),

@@ -27,7 +27,7 @@ P6_SQL = r"""
 SELECT doc_id,
        CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
        unnest(toks) AS word
-FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1) AS toks FROM documents)
+FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f\x0b]+'), x -> length(x) >= 1) AS toks FROM documents)
 """
 
 # ---------------------------------------------------------------------------

@@ -91,9 +91,9 @@ _STOP_ALL = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
 QUALITY_SQL = rf"""
 WITH s AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1)) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0b]+'), x -> length(x) >= 1)) AS BIGINT) AS n_tokens,
          CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_kept,
-         CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1),
+         CAST(len(list_filter(list_filter(string_split_regex(text, '[ \t\n\r\f\x0b]+'), x -> length(x) >= 1),
                               x -> x IN ({_STOP_ALL}))) AS BIGINT) AS n_stop
   FROM documents
 )
@@ -124,7 +124,7 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) >= 1)) AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0b]+'), x -> length(x) >= 1)) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_chunks
 FROM documents

@@ -122,6 +122,40 @@ def test_synthesize_slices_disjoint(spark):
     assert ra and rb and not (ra & rb)
 
 
+def test_like_search_guard(spark, docs):
+    """P4: the viewer rejects sub-3-char queries before any work is
+    scheduled (reference search.cpp:169-172)."""
+    from ocr_suite_spark.queries.extraction import like_search
+
+    flat = X.extract_flat(docs.limit(10))
+    for bad in ("a%", "ab%", "", "ab"):
+        with pytest.raises(ValueError, match="shorter than"):
+            like_search(flat, bad)
+    # 3 effective chars is allowed; lazily returns a plan, no action yet
+    assert like_search(flat, "abc%") is not None
+
+
+def test_periodic_reporter_emits_during_job(spark, docs):
+    """T7: the 5s cadence reporter ticks while the job runs (interval shrunk
+    for the test) and its interval rates/totals are sane."""
+    from ocr_suite_spark.metrics import PeriodicReporter, SpeedMeter
+
+    meter = SpeedMeter(spark)
+    lines: list[str] = []
+    with PeriodicReporter(meter, interval_s=0.2, sink=lines.append) as rep:
+        X.extract_flat(docs.limit(60), meter=meter).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    assert rep.reports, "no reports emitted"
+    assert lines and all(line.startswith("[speed]") for line in lines)
+    final = rep.reports[-1]
+    assert final["n_images_total"] > 0
+    assert all(r["images_per_sec"] >= 0 for r in rep.reports)
+    # totals are monotone across ticks
+    totals = [r["n_images_total"] for r in rep.reports]
+    assert totals == sorted(totals)
+
+
 def test_extract_edge_inputs(spark):
     """Empty input, text-only docs, media-only docs — the routed union must
     handle an empty branch on either side (and the stats-sized salt

@@ -1,0 +1,40 @@
+"""Table-format seam: parquet semantics the pipeline relies on (idempotent
+dynamic partition overwrite, append) + the iceberg branch's fail-fast."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_suite_spark import tableio
+
+
+def test_dynamic_partition_overwrite_is_idempotent_per_bucket(spark):
+    """Rewriting one bucket must replace exactly that bucket — the resume
+    primitive (reference is_frame_processed idempotence, database.cpp:122-133)."""
+    d = tempfile.mkdtemp(prefix="ocs-tio-") + "/t"
+    v1 = spark.createDataFrame([(0, "a"), (0, "b"), (1, "c")], "bucket int, v string")
+    tableio.write_table(v1, d, mode="overwrite", partition_by=["bucket"])
+    # rewrite bucket 0 only, with different content
+    v2 = spark.createDataFrame([(0, "a2")], "bucket int, v string")
+    tableio.write_table(v2, d, mode="overwrite", partition_by=["bucket"])
+    got = {(r["bucket"], r["v"]) for r in tableio.read_table(spark, d).collect()}
+    assert got == {(0, "a2"), (1, "c")}  # bucket 1 untouched, bucket 0 replaced
+
+
+def test_append_accumulates(spark):
+    d = tempfile.mkdtemp(prefix="ocs-tio-") + "/t"
+    df = spark.range(3).select(F.col("id"))
+    tableio.write_table(df, d, mode="overwrite")
+    tableio.append_table(df, d)
+    assert tableio.read_table(spark, d).count() == 6
+
+
+def test_iceberg_branch_fails_fast_without_catalog(spark):
+    df = spark.range(1)
+    with pytest.raises(NotImplementedError, match="spark.sql.catalog"):
+        tableio.write_table(df, "/tmp/nope", fmt="iceberg")
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        tableio.read_table(spark, "/tmp/nope", fmt="iceberg")

@@ -23,6 +23,9 @@ ADVERSARIAL = [
     "   ",
     "\t\n\r\f\v",
     "ab cde  fgh",
+    "abc\vdef ghi",      # \v IS a separator in all three engines (RE2 \s
+    "wxy\vz",            # would not split it — DUCK fragments use an
+    "\vabc\v",           # explicit class; ADVICE r1)
     "  leading and trailing  ",
     "a\xa0bcd",          # NBSP is NOT a separator for the engines
     "xx\xa0yy zz",       # 'xx<NBSP>yy' is one 5-char token
@@ -42,7 +45,7 @@ def _duck_norm(s: str) -> str:
     row = con.execute(
         r"""
         SELECT list_aggregate(
-                 list_filter(string_split_regex(?, '\s+'), x -> length(x) >= 3),
+                 list_filter(string_split_regex(?, '[ \t\n\r\f\x0b]+'), x -> length(x) >= 3),
                  'string_agg', ' ')
         """,
         [s],
