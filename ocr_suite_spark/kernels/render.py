@@ -201,3 +201,46 @@ def resolve_media(ref: str) -> bytes:
     """media_ref -> encoded bytes (the 'fetch + demux' stand-in)."""
     words, skew, noise = parse_media_ref(ref)
     return encode_image(render_image(words, skew, noise))
+
+
+# ---------------------------------------------------------------------------
+# S12 — debug bitmap sink format: real 8-bit grayscale BMP
+# (BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry gray palette, rows
+# bottom-up and 4-byte padded — the standard Windows DIB layout). The
+# reference dumps intermediate recognition stages as .bmp for debugging
+# (/root/reference src/recognition/bmp.cpp:52-87); these files open in any
+# image viewer.
+
+_BMP_HDR_SIZE = 14 + 40 + 256 * 4  # file header + info header + palette
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 grayscale array -> valid 8bpp BMP bytes."""
+    assert img.dtype == np.uint8 and img.ndim == 2, (img.dtype, img.shape)
+    h, w = img.shape
+    row_size = (w + 3) & ~3  # rows padded to 4 bytes
+    file_size = _BMP_HDR_SIZE + row_size * h
+    file_hdr = b"BM" + struct.pack("<IHHI", file_size, 0, 0, _BMP_HDR_SIZE)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h,          # header size, width, height (positive = bottom-up)
+        1, 8,              # planes, bits per pixel
+        0, row_size * h,   # BI_RGB (uncompressed), image size
+        2835, 2835,        # 72 DPI in px/m
+        256, 0,            # palette entries, all important
+    )
+    palette = bytes(v for i in range(256) for v in (i, i, i, 0))  # BGRA gray ramp
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, :w] = img[::-1]  # bottom-up scanline order
+    return file_hdr + info_hdr + palette + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Parse the 8bpp grayscale BMP subset encode_bmp writes."""
+    assert data[:2] == b"BM", "not a BMP"
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", data, 14)
+    assert bpp == 8 and h > 0, (bpp, h)
+    row_size = (w + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, offset=pixel_offset).reshape(h, row_size)
+    return rows[::-1, :w].copy()

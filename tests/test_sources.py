@@ -57,6 +57,35 @@ def test_s13_s15_json_roundtrip(spark, sf_dir):
     assert rows == {"d1": ("alpha", 98.5), "d2": ("bravo", 100.0)}  # default, viewer:167-207
 
 
+def test_s12_debug_bitmap_sink(spark, sf_dir):
+    """S12 (bmp.cpp:52-87): the debug sink writes REAL 8bpp BMPs — valid
+    header fields, bottom-up padded scanlines — whose pixels equal the
+    requested stage output, one file per media span, written executor-side."""
+    import numpy as np
+
+    from ocr_suite_spark import datagen
+    from ocr_suite_spark.debug_sink import write_debug_bitmaps
+    from ocr_suite_spark.kernels.ocr import binarize
+    from ocr_suite_spark.operators.extract import explode_media_meta
+
+    docs = datagen.interleaved_from_documents(spark, sf_dir).limit(8)
+    media = explode_media_meta(docs)
+    refs = {(r["doc_id"], r["offset"]): r["media_ref"] for r in media.collect()}
+    d = tempfile.mkdtemp(prefix="ocs-bmp-")
+    write_debug_bitmaps(media, d, stage="binarized")
+    files = sorted(os.listdir(d))
+    assert len(files) == len(refs) and all(f.endswith(".bmp") for f in files)
+    # spot-check: header magic + roundtrip equals the binarized stage
+    name = files[0]
+    doc_id, offset = name.split("_")[0], int(name.split("_")[1])
+    data = open(os.path.join(d, name), "rb").read()
+    assert data[:2] == b"BM"
+    img = render.decode_image(render.resolve_media(refs[(doc_id, offset)]))
+    want = np.where(binarize(img), 0, 255).astype(np.uint8)
+    got = render.decode_bmp(data)
+    assert np.array_equal(got, want)
+
+
 def test_plan_filter_pushdown_to_parquet(spark, sf_dir):
     """P-filters must reach the scan: PushedFilters in the parquet node."""
     df = (
