@@ -263,7 +263,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("df") > MAX_SHINGLE_DF)
         .select("sh")
     )
-    sh = sh_all.join(hot, "sh", "left_anti")
+    # Materialize the capped shingle set ONCE: it feeds four plan positions
+    # (both self-join sides + both size lookups), and Spark performs no
+    # common-subplan sharing — without this the explode+window+DF-agg
+    # subtree executes four times (read in the r2 plan audit). Same
+    # localCheckpoint discipline as dedup_clusters; at cluster scale this
+    # is a checkpoint to HDFS or a staged table.
+    sh = sh_all.join(hot, "sh", "left_anti").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
