@@ -44,6 +44,7 @@ class SpeedMeter:
         self.n_images = sc.accumulator(0)
         self.decode_s = sc.accumulator(0.0)
         self.ocr_s = sc.accumulator(0.0)
+        self.n_errors = sc.accumulator(0)  # quarantined payloads (on_error mode)
         self._t0 = time.time()
 
     def snapshot(self) -> Snapshot:

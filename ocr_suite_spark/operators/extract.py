@@ -89,7 +89,7 @@ def explode_media_meta(documents: DataFrame) -> DataFrame:
     )
 
 
-def make_ocr_fn(meter=None):
+def make_ocr_fn(meter=None, on_error: str = "fail"):
     """Build the mapInPandas fn: (doc_id, offset, media_ref) -> + recognized
     text.
 
@@ -98,7 +98,19 @@ def make_ocr_fn(meter=None):
     vectorized UDF pattern (SURVEY.md F1). With a SpeedMeter, per-batch
     decode/recognize wall time rides back on accumulators (speed_meter
     analog, speed_meter.cpp:35-58).
+
+    on_error:
+      - 'fail' (default): any decode/recognize exception propagates — task
+        retries, then the job dies. Right for correctness-graded runs.
+      - 'quarantine': the span survives with text = NULL (distinguishable
+        from '' = clean image with no >=3-char words) and the SpeedMeter's
+        n_errors accumulator counts it. At 10^12 documents a handful of
+        corrupt payloads are a certainty, and one poison row must cost one
+        row, not a 1000-executor job (the reference logs-and-continues the
+        same way on decoder errors, src/ffmpeg/decoder.cpp error paths).
     """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
 
     def _ocr_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time as _time
@@ -113,26 +125,37 @@ def make_ocr_fn(meter=None):
             t_dec = 0.0
             t_ocr = 0.0
             n_fresh = 0
+            n_err = 0
             for ref in pdf["media_ref"]:
                 t = memo.get(ref)
                 if t is None:
                     n_fresh += 1
                     t0 = _time.time()
-                    img = render.decode_image(render.resolve_media(ref))
-                    t1 = _time.time()
-                    t = textnorm.ocr_words_to_text(
-                        [w.text for w in eng.recognize(img)]
-                    )
+                    try:
+                        img = render.decode_image(render.resolve_media(ref))
+                        t1 = _time.time()
+                        t = textnorm.ocr_words_to_text(
+                            [w.text for w in eng.recognize(img)]
+                        )
+                    except Exception:
+                        if on_error == "fail":
+                            raise
+                        n_err += 1
+                        t1 = _time.time()
+                        t = None  # quarantined: NULL text, row survives
                     t_dec += t1 - t0
                     t_ocr += _time.time() - t1
                     if len(memo) > 65536:
                         memo.clear()
-                    memo[ref] = t
+                    if t is not None:
+                        memo[ref] = t
                 texts.append(t)
             if meter is not None:
                 meter.n_images.add(n_fresh)
                 meter.decode_s.add(t_dec)
                 meter.ocr_s.add(t_ocr)
+                if n_err:
+                    meter.n_errors.add(n_err)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -215,9 +238,16 @@ def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
 
 
 def extract_flat(
-    documents: DataFrame, salt_partitions: int | None = None, meter=None
+    documents: DataFrame,
+    salt_partitions: int | None = None,
+    meter=None,
+    on_error: str = "fail",
 ) -> DataFrame:
-    """documents -> flat extracted spans (doc_id, order, kind, text, media_ref)."""
+    """documents -> flat extracted spans (doc_id, order, kind, text, media_ref).
+
+    on_error='quarantine' lets corrupt media payloads survive as NULL-text
+    spans (counted on meter.n_errors) instead of failing the job — see
+    make_ocr_fn."""
     ex = explode_spans(documents)
     text_out = ex.where(F.col("kind") == "text").select(
         "doc_id",
@@ -228,7 +258,7 @@ def extract_flat(
     )
     media_in = explode_media_meta(documents)  # pruned scan: no text field
     media_out = _salted(media_in, salt_partitions).mapInPandas(
-        make_ocr_fn(meter), schema=_FLAT_SCHEMA
+        make_ocr_fn(meter, on_error=on_error), schema=_FLAT_SCHEMA
     )
     return text_out.unionByName(media_out)
 
@@ -257,10 +287,15 @@ def merge_spans(flat: DataFrame) -> DataFrame:
 
 
 def extract(
-    documents: DataFrame, salt_partitions: int | None = None, meter=None
+    documents: DataFrame,
+    salt_partitions: int | None = None,
+    meter=None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Full pipeline: documents -> merged (kind, text, media_ref, order) sequences."""
-    return merge_spans(extract_flat(documents, salt_partitions, meter=meter))
+    return merge_spans(
+        extract_flat(documents, salt_partitions, meter=meter, on_error=on_error)
+    )
 
 
 def extract_words(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:

@@ -156,6 +156,33 @@ def test_periodic_reporter_emits_during_job(spark, docs):
     assert totals == sorted(totals)
 
 
+def test_quarantine_mode_survives_corrupt_media(spark):
+    """A poison payload must cost one row, not the job: on_error='quarantine'
+    yields a NULL-text span + an n_errors count; the default still fails."""
+    from ocr_suite_spark.kernels.render import make_media_ref
+    from ocr_suite_spark.metrics import SpeedMeter
+    from ocr_suite_spark.schema import DOCUMENTS
+
+    docs = spark.createDataFrame(
+        [
+            ("ok1", [{"kind": "media", "text": None, "media_ref": make_media_ref(["alpha"], 0, 1), "offset": 1}]),
+            ("bad", [{"kind": "media", "text": None, "media_ref": "img://v1/NOT_A_VALID_REF", "offset": 1}]),
+        ],
+        DOCUMENTS,
+    )
+    meter = SpeedMeter(spark)
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in X.extract_flat(docs, on_error="quarantine", meter=meter).collect()
+    }
+    assert rows["ok1"] == "alpha"
+    assert rows["bad"] is None  # quarantined, row survives
+    assert meter.n_errors.value == 1
+    # default mode: the corrupt payload fails the job (after task retries)
+    with pytest.raises(Exception, match="unrecognized media_ref"):
+        X.extract_flat(docs).collect()
+
+
 def test_extract_edge_inputs(spark):
     """Empty input, text-only docs, media-only docs — the routed union must
     handle an empty branch on either side (and the stats-sized salt
