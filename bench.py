@@ -96,10 +96,13 @@ def run_bench(cores: int, sf_dir: str, names: list[str]) -> dict:
     if os.path.exists(scaling_file):  # last `--scaling` run (protocol in BENCH.md)
         with open(scaling_file) as f:
             scaling = json.load(f)
-        # only attach as current if it was measured at this exact code state;
+        # only attach as current if it was measured at this code state;
         # otherwise label it so a stale scaling run can't masquerade as part
-        # of this bench (ADVICE r1)
-        if scaling.get("git_commit") == _git_head():
+        # of this bench (ADVICE r1). The key is a fingerprint of the code
+        # the measurement depends on (engine tree + this file), so doc-only
+        # commits don't invalidate a fresh run; uncommitted edits are not
+        # captured — run --scaling from a clean tree.
+        if scaling.get("code_fingerprint") == _code_fingerprint():
             out["scaling"] = scaling
         else:
             out["scaling_prior_run"] = scaling
@@ -107,15 +110,26 @@ def run_bench(cores: int, sf_dir: str, names: list[str]) -> dict:
     return out
 
 
-def _git_head() -> str | None:
+def _git(args: list[str]) -> str | None:
     try:
         return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
+            ["git", *args],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
     except Exception:
         return None
+
+
+def _git_head() -> str | None:
+    return _git(["rev-parse", "HEAD"])
+
+
+def _code_fingerprint() -> str | None:
+    """Hash of what a scaling measurement depends on: the engine package
+    tree (git tree object hash — content-addressed, so doc/test commits
+    don't invalidate a fresh measurement)."""
+    return _git(["rev-parse", "HEAD:ocr_suite_spark"])
 
 
 def run_flagship_once(cores: int, n_docs: int) -> dict:
@@ -305,7 +319,8 @@ if __name__ == "__main__":
     if "--scaling" in args:
         n_docs = int(args[args.index("--scaling") + 1]) if args.index("--scaling") + 1 < len(args) and args[args.index("--scaling") + 1].isdigit() else 20000
         res = run_scaling(n_docs)
-        res["git_commit"] = _git_head()  # staleness key for run_bench attach
+        res["git_commit"] = _git_head()
+        res["code_fingerprint"] = _code_fingerprint()  # staleness key for run_bench attach
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w") as f:
             json.dump(res, f)
         print(json.dumps(res))

@@ -26,11 +26,24 @@ def main() -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--run-id", default="run-1")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument(
+        "--on-error", choices=("fail", "quarantine"), default="quarantine",
+        help="quarantine (default for long production runs): corrupt media "
+        "payloads become NULL-text spans and are counted, not fatal",
+    )
+    p.add_argument(
+        "--report-interval", type=float, default=5.0,
+        help="seconds between [speed] progress lines (0 disables; reference "
+        "speed_meter cadence)",
+    )
     args = p.parse_args()
+
+    import contextlib
 
     from pyspark.sql import SparkSession
 
     from ocr_suite_spark import datagen
+    from ocr_suite_spark.metrics import PeriodicReporter, SpeedMeter
     from ocr_suite_spark.progress import ProgressStore, extract_resumable
     from ocr_suite_spark.schema import DOCUMENTS
 
@@ -42,16 +55,25 @@ def main() -> None:
     else:
         docs = spark.read.schema(DOCUMENTS).parquet(args.input)
 
-    t0 = time.time()
-    out = extract_resumable(
-        spark,
-        docs,
-        out_dir=args.output,
-        ckpt_dir=args.checkpoint,
-        run_id=args.run_id,
-        n_buckets=args.n_buckets,
+    meter = SpeedMeter(spark)
+    reporter = (
+        PeriodicReporter(meter, interval_s=args.report_interval)
+        if args.report_interval > 0
+        else contextlib.nullcontext()
     )
-    n = out.count()
+    t0 = time.time()
+    with reporter:
+        out = extract_resumable(
+            spark,
+            docs,
+            out_dir=args.output,
+            ckpt_dir=args.checkpoint,
+            run_id=args.run_id,
+            n_buckets=args.n_buckets,
+            meter=meter,
+            on_error=args.on_error,
+        )
+        n = out.count()
     wall = time.time() - t0
     done = ProgressStore(spark, args.checkpoint).done_buckets(args.run_id).count()
     print(
@@ -61,6 +83,7 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n / wall, 2),
                 "buckets_done": done,
+                "quarantined": meter.n_errors.value,
                 "output": args.output,
             }
         )

@@ -98,6 +98,8 @@ def extract_resumable(
     run_id: str = "run-1",
     n_buckets: int = 32,
     salt_partitions: int | None = None,
+    meter=None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Run the extraction pipeline over only the not-yet-done buckets, write
     results partitioned by bucket (idempotent dynamic overwrite), record
@@ -115,9 +117,15 @@ def extract_resumable(
     done = store.done_buckets(run_id)
     pending = docs.join(done, "bucket", "left_anti")
 
-    meter = SpeedMeter(spark)
+    if meter is None:
+        meter = SpeedMeter(spark)
     t0 = time.time()
-    merged = X.extract(pending.drop("bucket"), salt_partitions=salt_partitions, meter=meter)
+    merged = X.extract(
+        pending.drop("bucket"),
+        salt_partitions=salt_partitions,
+        meter=meter,
+        on_error=on_error,
+    )
     result = merged.withColumn("bucket", bucket_col(n_buckets))
 
     tableio.write_table(result, out_dir, mode="overwrite", partition_by=["bucket"])

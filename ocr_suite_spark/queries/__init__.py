@@ -17,9 +17,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, extraction, multimodal, relational, scalars, similarity, textstats
+from . import (
+    dedup,
+    extraction,
+    multimodal,
+    relational,
+    sampling,
+    scalars,
+    similarity,
+    textstats,
+)
 
-_MODULES = [relational, scalars, dedup, similarity, textstats, extraction, multimodal]
+_MODULES = [relational, scalars, dedup, similarity, textstats, extraction, multimodal, sampling]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 # queries whose oracle is a committed sf0.01 golden fixture (regenerate via

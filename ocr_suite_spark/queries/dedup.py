@@ -476,8 +476,43 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# keeper selection: apply the clusters back to the corpus
+
+
+def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup story's last mile: drop every cluster member except the
+    canonical keeper (cluster_id == min reachable doc_id) and return the
+    surviving corpus. One anti-join against the (tiny relative to corpus)
+    non-keeper set — docs that never entered a candidate pair are keepers
+    by definition and never join."""
+    clusters = dedup_clusters(spark, sf)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = t(spark, sf, "documents")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_keep_canonical": (dedup_keep_canonical, DEDUP_KEEP_SQL),
     "dedup_minhash_signature": (dedup_minhash_signature, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -1,0 +1,108 @@
+"""Deterministic sampling operators — training-data pipeline layer.
+
+A 100 TB training-data pipeline samples constantly (eval holdouts, per-
+language rebalancing, debug slices). The non-negotiable at scale is
+DETERMINISM: `df.sample()` is seed-and-partitioning dependent, so the
+same logical sample cannot be reproduced across runs, cluster sizes or
+engines. These operators key every decision on a content hash instead —
+a doc is in or out of the sample regardless of partitioning, executor
+count or engine, and the sample is stable across reruns (the same
+property datagen and the progress buckets rely on).
+
+Engine parity trick: thresholds compare md5-hex PREFIXES as strings
+(fixed-length hex ⇒ lexicographic order == numeric order), because Spark
+and DuckDB share md5 but no integer hash. '1a' < threshold over 2 hex
+chars gives k/256 fractions — granular enough for rate control and
+bit-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+
+def _hash_key(doc_id: Column) -> Column:
+    """2-hex-char sampling key in [00, ff], uniform, partition-independent."""
+    return F.substring(F.md5(doc_id.cast("string")), 1, 2)
+
+
+# SQL twin of _hash_key
+_DUCK_KEY = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+SAMPLE_THRESHOLD = "1a"  # 26/256 ≈ 10.2% corpus sample
+
+
+def sample_hash_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """~10% deterministic corpus sample: membership is a pure function of
+    doc_id — reproducible across runs, partitionings and engines. One
+    narrow filter, no shuffle; the predicate is NOT pushable to the scan
+    (md5 of a column), which is fine — it's cheap and row-local."""
+    docs = t(spark, sf, "documents")
+    return docs.where(_hash_key(F.col("doc_id")) < SAMPLE_THRESHOLD).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_DUCK_KEY} < '{SAMPLE_THRESHOLD}'
+"""
+
+# per-language target rates (hex-256ths): rebalance a multilingual corpus
+# by downsampling the dominant language — the canonical pretraining-mix op
+STRATA = {"en": "80"}  # en: 128/256 = 50%
+STRATA_DEFAULT = "e0"  # others: 224/256 = 87.5%
+
+
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic rates: en 50%, others 87.5%. Same
+    hash-threshold membership, threshold chosen per stratum — still one
+    narrow row-local filter, no shuffle, no per-group state."""
+    docs = t(spark, sf, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit(STRATA["en"])).otherwise(
+        F.lit(STRATA_DEFAULT)
+    )
+    return docs.where(_hash_key(F.col("doc_id")) < thr).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SAMPLE_STRAT_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_DUCK_KEY} < (CASE WHEN lang = 'en' THEN '{STRATA["en"]}' ELSE '{STRATA_DEFAULT}' END)
+"""
+
+
+def nchars_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language size quantiles (p50/p90 of n_chars) — the profiling
+    aggregate a sampling policy is tuned against. Exact `percentile`
+    (linear interpolation, same formula as DuckDB's quantile_cont); at
+    10^12 rows you'd flip to percentile_approx and drop the oracle to a
+    tolerance check — the exact form is kept because the driver gate is
+    bit-exact."""
+    docs = t(spark, sf, "documents")
+    f3 = lambda c: F.floor(c * 1000) / 1000
+    return docs.groupBy("lang").agg(
+        f3(F.percentile("n_chars", F.lit(0.5))).alias("p50_chars"),
+        f3(F.percentile("n_chars", F.lit(0.9))).alias("p90_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+NCHARS_QUANTILES_SQL = """
+SELECT lang,
+       FLOOR(quantile_cont(n_chars, 0.5) * 1000) / 1000 AS p50_chars,
+       FLOOR(quantile_cont(n_chars, 0.9) * 1000) / 1000 AS p90_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES = {
+    "sample_hash_fraction": (sample_hash_fraction, SAMPLE_HASH_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_STRAT_SQL),
+    "nchars_quantiles": (nchars_quantiles, NCHARS_QUANTILES_SQL),
+}
