@@ -126,10 +126,20 @@ def _git_head() -> str | None:
 
 
 def _code_fingerprint() -> str | None:
-    """Hash of what a scaling measurement depends on: the engine package
-    tree (git tree object hash — content-addressed, so doc/test commits
-    don't invalidate a fresh measurement)."""
-    return _git(["rev-parse", "HEAD:ocr_suite_spark"])
+    """Hash of exactly what the scaling measurement executes (git object
+    hashes — content-addressed, so commits to tests/docs/query modules
+    that never run in the flagship job don't invalidate a fresh
+    measurement): the extract operators, the kernels, corpus generation,
+    session config and the meter."""
+    out = _git([
+        "rev-parse",
+        "HEAD:ocr_suite_spark/operators",
+        "HEAD:ocr_suite_spark/kernels",
+        "HEAD:ocr_suite_spark/datagen.py",
+        "HEAD:ocr_suite_spark/session.py",
+        "HEAD:ocr_suite_spark/metrics.py",
+    ])
+    return out.replace("\n", "-") if out else None
 
 
 def run_flagship_once(cores: int, n_docs: int) -> dict:
