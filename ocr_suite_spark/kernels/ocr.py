@@ -100,18 +100,30 @@ def estimate_skew(
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     xr = xs - cx
     yr = ys - cy
-    best = (-1.0, 0.0, 0)
-    for ang in candidates:
-        a = np.deg2rad(ang)
-        # dest row of each ink pixel under rotate_nn(mask, -ang)
-        yd = np.rint(-np.sin(a) * xr + np.cos(a) * yr + cy).astype(np.int64)
-        yd = yd[(yd >= 0) & (yd < h)]
-        prof = np.bincount(yd, minlength=h).astype(np.float64)
-        score = prof.var()
-        key = (score, -abs(ang), -ang)
-        if key > (best[0], best[1], best[2]):
-            best = key
-    return -int(best[2])
+    # All candidate rotations in ONE batch: dest rows as a (n_angles, n_ink)
+    # matrix, out-of-range pixels routed to a per-angle trash bin (row h,
+    # sliced off — same exclusion as the old per-angle filter), then a
+    # single offset-encoded bincount yields every profile at once. Counts,
+    # variances and the argmax are bit-identical to the per-angle loop
+    # (test_estimate_skew_exact + the skew/letter roundtrip sweeps).
+    rad = np.deg2rad(np.asarray(candidates, dtype=np.float64))
+    yd = np.rint(
+        np.outer(-np.sin(rad), xr) + np.outer(np.cos(rad), yr) + cy
+    ).astype(np.int64)
+    yd[(yd < 0) | (yd >= h)] = h  # trash bin
+    hh = h + 1
+    offs = (np.arange(len(candidates)) * hh)[:, None]
+    prof = (
+        np.bincount((yd + offs).ravel(), minlength=len(candidates) * hh)
+        .reshape(len(candidates), hh)[:, :h]
+        .astype(np.float64)
+    )
+    scores = prof.var(axis=1)
+    best = max(
+        range(len(candidates)),
+        key=lambda i: (scores[i], -abs(candidates[i]), -candidates[i]),
+    )
+    return int(candidates[best])
 
 
 def _runs(flags: np.ndarray) -> list[tuple[int, int]]:

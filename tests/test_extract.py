@@ -105,6 +105,16 @@ def test_count_stable_across_parallelism(docs):
     assert a == b
 
 
+def test_content_identical_across_parallelism(docs):
+    """Stronger than the count check: full span-sequence CONTENT equality
+    across physical partitionings — the cluster-size-independence the
+    north rule's N-vs-4N criterion presumes (same input, any layout, same
+    rows)."""
+    a = _spark_sequences(X.extract(docs.limit(80)))
+    b = _spark_sequences(X.extract(docs.limit(80).repartition(13)))
+    assert a == b
+
+
 def test_synthesize_slices_disjoint(spark):
     """Scaling-bench contract: corpora at different id offsets share the
     content distribution but no media_ref (each timed run sees fresh
