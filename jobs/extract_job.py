@@ -27,6 +27,12 @@ def main() -> None:
     p.add_argument("--run-id", default="run-1")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument(
+        "--bucket-groups", type=int, default=8,
+        help="checkpoint cadence: pending buckets run as this many "
+        "sequential jobs, each committing output + progress before the "
+        "next — the unit of loss on a mid-run kill is n_buckets/groups",
+    )
+    p.add_argument(
         "--on-error", choices=("fail", "quarantine"), default="quarantine",
         help="quarantine (default for long production runs): corrupt media "
         "payloads become NULL-text spans and are counted, not fatal",
@@ -70,6 +76,7 @@ def main() -> None:
             ckpt_dir=args.checkpoint,
             run_id=args.run_id,
             n_buckets=args.n_buckets,
+            bucket_groups=args.bucket_groups,
             meter=meter,
             on_error=args.on_error,
         )

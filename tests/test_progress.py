@@ -79,6 +79,56 @@ def test_resume_after_simulated_kill(spark, sf_dir, tmpdirs):
     assert set(counts) == set(range(8))
 
 
+def test_group_checkpoint_survives_real_midrun_kill(spark, sf_dir, tmpdirs):
+    """With bucket_groups > 1 the checkpoint cadence is real: a job that
+    DIES mid-run (poison payload in a late group, on_error='fail') leaves
+    the earlier groups' progress committed, and the resume completes only
+    the remainder — earlier buckets keep exactly one progress row."""
+    from ocr_suite_spark.schema import DOCUMENTS
+
+    out_dir, ckpt_dir = tmpdirs
+    docs = datagen.interleaved_from_documents(spark, sf_dir).limit(60).cache()
+
+    # a poison doc whose bucket (of 8) falls in group 3 (of 4): groups
+    # 0-2 commit before the failure
+    cand = spark.createDataFrame([(f"poison-{i}",) for i in range(64)], "doc_id string")
+    pick = (
+        cand.where(F.pmod(F.pmod(F.xxhash64("doc_id"), F.lit(8)), F.lit(4)) == 3)
+        .limit(1)
+        .collect()[0][0]
+    )
+    poison = spark.createDataFrame(
+        [(pick, [{"kind": "media", "text": None, "media_ref": "img://v1/BROKEN", "offset": 1}])],
+        DOCUMENTS,
+    )
+    docs_bad = docs.unionByName(poison)
+
+    with pytest.raises(Exception, match="unrecognized media_ref"):
+        extract_resumable(
+            spark, docs_bad, out_dir, ckpt_dir, n_buckets=8, bucket_groups=4,
+            on_error="fail",
+        )
+    store = ProgressStore(spark, ckpt_dir)
+    done_before = {r["bucket"] for r in store.done_buckets("run-1").collect()}
+    assert done_before, "no group committed before the kill"
+    assert all(b % 4 != 3 for b in done_before)  # the failed group never committed
+
+    # resume in quarantine mode: completes the remaining group only
+    res = extract_resumable(
+        spark, docs_bad, out_dir, ckpt_dir, n_buckets=8, bucket_groups=4,
+        on_error="quarantine",
+    )
+    assert res.count() == 61
+    per_bucket = {
+        r["bucket"]: r["count"]
+        for r in store.read().where(F.col("status") == "done").groupBy("bucket").count().collect()
+    }
+    assert all(v == 1 for v in per_bucket.values()), per_bucket  # no recompute
+    # the poison row survived as a quarantined NULL-text span
+    bad = {r["doc_id"]: r["spans"] for r in res.collect()}[pick]
+    assert [(s["kind"], s["text"]) for s in bad] == [("media", None)]
+
+
 def test_lineage_fingerprint_recorded(spark, sf_dir, tmpdirs):
     out_dir, ckpt_dir = tmpdirs
     docs = datagen.interleaved_from_documents(spark, sf_dir).limit(50)
