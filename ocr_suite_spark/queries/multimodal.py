@@ -183,7 +183,13 @@ def frame_sample(media: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
 # mirror, so the oracle-checked query runs both engines over one committed
 # deterministic fixture (generated once by datagen at sf0.01) — input
 # identity is by construction, order-independent of any cache state.
-_FIXTURE = "/root/repo/tests/fixtures/interleaved_sf0.01.parquet"
+# Path derived from the repo location (like common.GOLDEN_DIR), not
+# hardcoded, so a relocated checkout still resolves it.
+import os as _os
+
+from .common import _REPO_ROOT
+
+_FIXTURE = _os.path.join(_REPO_ROOT, "tests", "fixtures", "interleaved_sf0.01.parquet")
 
 
 def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
