@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    curation,
     dedup,
     extraction,
     multimodal,
@@ -28,7 +29,10 @@ from . import (
     textstats,
 )
 
-_MODULES = [relational, scalars, dedup, similarity, textstats, extraction, multimodal, sampling]
+_MODULES = [
+    relational, scalars, dedup, similarity, textstats,
+    extraction, multimodal, sampling, curation,
+]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 # queries whose oracle is a committed sf0.01 golden fixture (regenerate via
