@@ -35,10 +35,13 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = t(spark, sf, "documents")
     is_eval = _hash_key(F.col("doc_id")) < EVAL_THRESHOLD
-    sh = shingle_rows(docs).select("doc_id", "sh").distinct()
-    eval_ids = docs.where(is_eval).select("doc_id")
-    eval_sh = sh.join(eval_ids, "doc_id").select("sh").distinct()
-    train_sh = sh.join(eval_ids, "doc_id", "left_anti")
+    # split BEFORE shingling: the eval slice (~3%) is shingled alone —
+    # never shingle-the-corpus-then-filter (which would also make the two
+    # sides share a subplan Spark would compute twice)
+    eval_sh = (
+        shingle_rows(docs.where(is_eval)).select("sh").distinct()
+    )
+    train_sh = shingle_rows(docs.where(~is_eval)).select("doc_id", "sh").distinct()
     return (
         train_sh.join(eval_sh, "sh")
         .groupBy("doc_id")
@@ -47,15 +50,18 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DECONTAMINATE_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM documents
+WITH eval_sh AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(list_distinct({DUCK_SHINGLES})) AS sh
+    FROM documents WHERE {_DUCK_KEY} < '{EVAL_THRESHOLD}'
+  )
 ),
-eval_ids AS (SELECT doc_id FROM documents WHERE {_DUCK_KEY} < '{EVAL_THRESHOLD}'),
-eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id IN (SELECT doc_id FROM eval_ids))
+train_sh AS (
+  SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh
+  FROM documents WHERE NOT ({_DUCK_KEY} < '{EVAL_THRESHOLD}')
+)
 SELECT doc_id, COUNT(*) AS n_shared_shingles
-FROM sh
-WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
-  AND sh IN (SELECT sh FROM eval_sh)
+FROM train_sh WHERE sh IN (SELECT sh FROM eval_sh)
 GROUP BY doc_id
 """
 
