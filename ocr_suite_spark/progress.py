@@ -119,6 +119,7 @@ def extract_resumable(
     is one job submission + one progress append (~1-2 s here), so at
     10^12 docs g in the hundreds keeps overhead <1% while bounding loss.
     """
+    from .lock import SingleInstanceLock
     from .metrics import SpeedMeter
     from .operators import extract as X
 
@@ -127,6 +128,22 @@ def extract_resumable(
 
     if meter is None:
         meter = SpeedMeter(spark)
+
+    # T6: exactly one extraction per checkpoint dir (reference
+    # single-instance semantics incl. stale-lock takeover, lock.py)
+    with SingleInstanceLock(ckpt_dir):
+        _run_groups(
+            spark, store, docs, out_dir, run_id, n_buckets, salt_partitions,
+            meter, on_error, bucket_groups,
+        )
+    return tableio.read_table(spark, out_dir)
+
+
+def _run_groups(
+    spark, store, docs, out_dir, run_id, n_buckets, salt_partitions,
+    meter, on_error, bucket_groups,
+) -> None:
+    from .operators import extract as X
 
     for g in range(bucket_groups):
         # done set re-read per group: resume sees every previously
@@ -198,4 +215,3 @@ def extract_resumable(
                 for r in stats
             ]
         )
-    return tableio.read_table(spark, out_dir)
