@@ -45,6 +45,7 @@ def main() -> None:
     args = p.parse_args()
 
     import contextlib
+    import signal
 
     from pyspark.sql import SparkSession
 
@@ -60,6 +61,22 @@ def main() -> None:
         docs = datagen.interleaved_from_documents(spark, args.input)
     else:
         docs = spark.read.schema(DOCUMENTS).parquet(args.input)
+
+    # T5 graceful shutdown: SIGTERM/SIGINT finish the in-flight bucket
+    # group (its output + progress commit), then stop — the next run
+    # resumes from the committed groups. Second signal = default handling.
+    stop_flag = {"stop": False}
+
+    def _on_signal(signum, frame):
+        if stop_flag["stop"]:
+            signal.signal(signum, signal.SIG_DFL)
+            os_kill = __import__("os").kill
+            os_kill(__import__("os").getpid(), signum)
+        print(f"[shutdown] signal {signum}: finishing current bucket group", flush=True)
+        stop_flag["stop"] = True
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
 
     meter = SpeedMeter(spark)
     reporter = (
@@ -79,6 +96,7 @@ def main() -> None:
             bucket_groups=args.bucket_groups,
             meter=meter,
             on_error=args.on_error,
+            stop_requested=lambda: stop_flag["stop"],
         )
         n = out.count()
     wall = time.time() - t0

@@ -101,6 +101,7 @@ def extract_resumable(
     meter=None,
     on_error: str = "fail",
     bucket_groups: int = 1,
+    stop_requested=None,
 ) -> DataFrame:
     """Run the extraction pipeline over only the not-yet-done buckets, write
     results partitioned by bucket (idempotent dynamic overwrite), record
@@ -108,6 +109,13 @@ def extract_resumable(
 
     A killed run resumes without recomputing finished buckets: the next call
     anti-joins them away before the OCR UDF ever sees their rows.
+
+    ``stop_requested`` (optional zero-arg callable) is the GRACEFUL
+    SHUTDOWN hook (reference T5: SIGINT stops the decode loop after the
+    in-flight work, progress already persisted): it is polled between
+    bucket groups; when it returns True the run returns early with every
+    completed group committed — a later call resumes exactly there.
+    Wire it to a signal flag in the job entry point (jobs/extract_job.py).
 
     ``bucket_groups`` is the CHECKPOINT CADENCE: with 1 (default) the whole
     pending set is one Spark job and a mid-run kill loses the run; with
@@ -134,18 +142,20 @@ def extract_resumable(
     with SingleInstanceLock(ckpt_dir):
         _run_groups(
             spark, store, docs, out_dir, run_id, n_buckets, salt_partitions,
-            meter, on_error, bucket_groups,
+            meter, on_error, bucket_groups, stop_requested,
         )
     return tableio.read_table(spark, out_dir)
 
 
 def _run_groups(
     spark, store, docs, out_dir, run_id, n_buckets, salt_partitions,
-    meter, on_error, bucket_groups,
+    meter, on_error, bucket_groups, stop_requested=None,
 ) -> None:
     from .operators import extract as X
 
     for g in range(bucket_groups):
+        if stop_requested is not None and stop_requested():
+            return  # graceful: completed groups are committed; resume later
         # done set re-read per group: resume sees every previously
         # committed group, including from killed prior runs
         done = store.done_buckets(run_id)

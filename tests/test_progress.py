@@ -129,6 +129,36 @@ def test_group_checkpoint_survives_real_midrun_kill(spark, sf_dir, tmpdirs):
     assert [(s["kind"], s["text"]) for s in bad] == [("media", None)]
 
 
+def test_graceful_stop_between_groups(spark, sf_dir, tmpdirs):
+    """T5: a stop request finishes the in-flight group, commits it, and
+    returns; the next run resumes from exactly there."""
+    out_dir, ckpt_dir = tmpdirs
+    docs = datagen.interleaved_from_documents(spark, sf_dir).limit(60).cache()
+
+    calls = {"n": 0}
+
+    def stop_after_two_groups() -> bool:
+        calls["n"] += 1
+        return calls["n"] > 2  # allow groups 0 and 1, stop before group 2
+
+    extract_resumable(
+        spark, docs, out_dir, ckpt_dir, n_buckets=8, bucket_groups=4,
+        stop_requested=stop_after_two_groups,
+    )
+    store = ProgressStore(spark, ckpt_dir)
+    done = {r["bucket"] for r in store.done_buckets("run-1").collect()}
+    assert done and all(b % 4 in (0, 1) for b in done)  # only groups 0-1 ran
+
+    res = extract_resumable(
+        spark, docs, out_dir, ckpt_dir, n_buckets=8, bucket_groups=4
+    )
+    assert res.count() == 60
+    per_bucket = (
+        store.read().where(F.col("status") == "done").groupBy("bucket").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_bucket)  # completed groups not redone
+
+
 def test_lineage_fingerprint_recorded(spark, sf_dir, tmpdirs):
     out_dir, ckpt_dir = tmpdirs
     docs = datagen.interleaved_from_documents(spark, sf_dir).limit(50)
