@@ -53,38 +53,68 @@ class SingleInstanceLock:
         try:
             os.kill(pid, 0)
             return True
-        except (ProcessLookupError, PermissionError):
+        except PermissionError:
+            # EPERM: the pid EXISTS but belongs to another user — the lock
+            # is live (a shared checkpoint dir across users is exactly the
+            # case T6 must protect). Only ESRCH means dead.
+            return True
+        except ProcessLookupError:
+            return False
+
+    def _payload(self) -> bytes:
+        return json.dumps(
+            {
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "acquired_at": time.time(),
+            }
+        ).encode()
+
+    def _owns(self) -> bool:
+        try:
+            with open(self.path) as f:
+                info = json.load(f)
+            return int(info["pid"]) == os.getpid() and info["host"] == socket.gethostname()
+        except Exception:
             return False
 
     def acquire(self) -> "SingleInstanceLock":
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        for _ in range(2):  # second try after removing a stale lock
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                if self._owner_alive():
-                    raise LockHeldError(
-                        f"another extraction holds {self.path} "
-                        "(live pid; refusing to run concurrently)"
-                    ) from None
-                try:
-                    os.unlink(self.path)  # stale/corrupt: take over
-                except FileNotFoundError:
-                    pass
-                continue
-            with os.fdopen(fd, "w") as f:
-                json.dump(
-                    {
-                        "pid": os.getpid(),
-                        "host": socket.gethostname(),
-                        "acquired_at": time.time(),
-                    },
-                    f,
-                )
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if self._owner_alive():
+                raise LockHeldError(
+                    f"another extraction holds {self.path} "
+                    "(live pid; refusing to run concurrently)"
+                ) from None
+            # Stale/corrupt: take over by atomically renaming a fresh
+            # lockfile OVER the stale one (never unlink-then-create — two
+            # racing takeovers could each observe the stale file, and the
+            # loser's pending unlink would delete the winner's fresh lock,
+            # leaving two holders). rename is atomic; exactly one payload
+            # survives, and the post-verify below decides who won.
+            tmp = f"{self.path}.takeover.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(self._payload())
+            os.rename(tmp, self.path)
+            if not self._owns():
+                raise LockHeldError(
+                    f"lost stale-takeover race for {self.path}"
+                ) from None
             return self
-        raise LockHeldError(f"could not acquire {self.path}")
+        with os.fdopen(fd, "wb") as f:
+            f.write(self._payload())
+        # Post-create verify: a concurrent stale-takeover rename can clobber
+        # an O_EXCL create that landed between its liveness check and its
+        # rename; ownership is only real if our pid is the one on disk.
+        if not self._owns():
+            raise LockHeldError(f"lost acquisition race for {self.path}")
+        return self
 
     def release(self) -> None:
+        if not self._owns():
+            return  # never delete a lock we don't hold
         try:
             os.unlink(self.path)
         except FileNotFoundError:

@@ -119,7 +119,11 @@ def make_ocr_fn(meter=None, on_error: str = "fail"):
         from ..kernels.ocr import Recognizer
 
         eng = Recognizer()
-        memo: dict[str, str] = {}
+        # failed refs are memoized too (as this sentinel): a corrupt payload
+        # repeated across many rows is decoded once and counted once —
+        # n_errors counts distinct quarantined payloads per worker, not rows
+        quarantined = object()
+        memo: dict[str, object] = {}
         for pdf in batches:
             texts = []
             t_dec = 0.0
@@ -131,6 +135,7 @@ def make_ocr_fn(meter=None, on_error: str = "fail"):
                 if t is None:
                     n_fresh += 1
                     t0 = _time.time()
+                    t1 = None
                     try:
                         img = render.decode_image(render.resolve_media(ref))
                         t1 = _time.time()
@@ -141,15 +146,15 @@ def make_ocr_fn(meter=None, on_error: str = "fail"):
                         if on_error == "fail":
                             raise
                         n_err += 1
-                        t1 = _time.time()
-                        t = None  # quarantined: NULL text, row survives
+                        if t1 is None:  # decode failed: book as decode time;
+                            t1 = _time.time()  # recognize failures stay in ocr_s
+                        t = quarantined
                     t_dec += t1 - t0
                     t_ocr += _time.time() - t1
                     if len(memo) > 65536:
                         memo.clear()
-                    if t is not None:
-                        memo[ref] = t
-                texts.append(t)
+                    memo[ref] = t
+                texts.append(None if t is quarantined else t)
             if meter is not None:
                 meter.n_images.add(n_fresh)
                 meter.decode_s.add(t_dec)
@@ -173,30 +178,79 @@ def make_ocr_fn(meter=None, on_error: str = "fail"):
 _ocr_text_batches = make_ocr_fn(None)
 
 
-def _ocr_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Word-level variant: one output row per recognized word with bbox +
-    confidence (reference text_entry, ocr_result.h:14-18)."""
-    from ..kernels import render
-    from ..kernels.ocr import Recognizer
+def make_ocr_words_fn(meter=None, on_error: str = "fail"):
+    """Word-level variant of make_ocr_fn: one output row per recognized word
+    with bbox + confidence (reference text_entry, ocr_result.h:14-18).
 
-    eng = Recognizer()
-    for pdf in batches:
-        rows = []
-        for doc_id, offset, ref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
-            img = render.decode_image(render.resolve_media(ref))
-            for w in eng.recognize(img):
-                if len(w.text.strip()) < MIN_TOKEN_LEN:
-                    continue  # provider min-length filter, tesseract.cpp:113-115
-                rows.append(
-                    (doc_id, offset, ref, w.text, w.left, w.top, w.right, w.bottom, w.confidence)
-                )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "order", "media_ref", "word",
-                "left", "top", "right", "bottom", "confidence",
-            ],
-        )
+    Same hardening as the text path (it lacked both in r2): per-worker
+    memoization of recognized word tuples per media_ref, and
+    on_error='quarantine' — a corrupt payload yields zero word rows for
+    that span (counted once per distinct ref on meter.n_errors) instead of
+    killing the job."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
+
+    def _ocr_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        from ..kernels import render
+        from ..kernels.ocr import Recognizer
+
+        eng = Recognizer()
+        quarantined = object()
+        memo: dict[str, object] = {}
+        for pdf in batches:
+            rows = []
+            t_dec = 0.0
+            t_ocr = 0.0
+            n_fresh = 0
+            n_err = 0
+            for doc_id, offset, ref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+                words = memo.get(ref)
+                if words is None:
+                    n_fresh += 1
+                    t0 = _time.time()
+                    t1 = None
+                    try:
+                        img = render.decode_image(render.resolve_media(ref))
+                        t1 = _time.time()
+                        words = [
+                            (w.text, w.left, w.top, w.right, w.bottom, w.confidence)
+                            for w in eng.recognize(img)
+                            # provider min-length filter, tesseract.cpp:113-115
+                            if len(w.text.strip()) >= MIN_TOKEN_LEN
+                        ]
+                    except Exception:
+                        if on_error == "fail":
+                            raise
+                        n_err += 1
+                        if t1 is None:
+                            t1 = _time.time()
+                        words = quarantined
+                    t_dec += t1 - t0
+                    t_ocr += _time.time() - t1
+                    if len(memo) > 65536:
+                        memo.clear()
+                    memo[ref] = words
+                if words is quarantined:
+                    continue  # span contributes no word rows
+                for w in words:
+                    rows.append((doc_id, offset, ref, *w))
+            if meter is not None:
+                meter.n_images.add(n_fresh)
+                meter.decode_s.add(t_dec)
+                meter.ocr_s.add(t_ocr)
+                if n_err:
+                    meter.n_errors.add(n_err)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "order", "media_ref", "word",
+                    "left", "top", "right", "bottom", "confidence",
+                ],
+            )
+
+    return _ocr_words_batches
 
 
 def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
@@ -298,9 +352,14 @@ def extract(
     )
 
 
-def extract_words(documents: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def extract_words(
+    documents: DataFrame,
+    salt_partitions: int | None = None,
+    meter=None,
+    on_error: str = "fail",
+) -> DataFrame:
     """Word-level OCR output with bboxes (reference ocr_result entries)."""
     media_in = explode_media_meta(documents)  # pruned scan: no text field
     return _salted(media_in, salt_partitions).mapInPandas(
-        _ocr_words_batches, schema=_WORDS_SCHEMA
+        make_ocr_words_fn(meter, on_error=on_error), schema=_WORDS_SCHEMA
     )

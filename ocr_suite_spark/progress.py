@@ -144,7 +144,22 @@ def extract_resumable(
             spark, store, docs, out_dir, run_id, n_buckets, salt_partitions,
             meter, on_error, bucket_groups, stop_requested,
         )
-    return tableio.read_table(spark, out_dir)
+    # The final read must survive a graceful stop that fired before group 0
+    # ever wrote (out_dir absent) and a first group that wrote zero rows (a
+    # partitioned empty write leaves a directory with no data files) — both
+    # would otherwise raise PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA.
+    try:
+        out = tableio.read_table(spark, out_dir)
+        out.schema  # force schema inference now, inside the guard
+        return out
+    except Exception:
+        from .schema import EXTRACTED_MERGED
+
+        empty = T.StructType(
+            list(EXTRACTED_MERGED.fields)
+            + [T.StructField("bucket", T.IntegerType(), True)]
+        )
+        return spark.createDataFrame([], empty)
 
 
 def _run_groups(

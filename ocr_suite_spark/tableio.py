@@ -47,11 +47,17 @@ def _require_iceberg(spark: SparkSession) -> None:
 
 
 def _ident(path: str) -> str:
-    """Map a storage path to an Iceberg table identifier."""
+    """Map a storage path to an Iceberg table identifier.
+
+    The WHOLE path is encoded (sanitized), not just the basename: distinct
+    directories like run1/out and run2/out must map to distinct tables, or
+    two runs would silently share (and overwrite) one table."""
     if "://" not in path and "/" not in path:
         return f"{ICEBERG_CATALOG}.{path}"
-    tail = path.rstrip("/").rsplit("/", 1)[-1]
-    return f"{ICEBERG_CATALOG}.db.{tail}"
+    import re
+
+    tail = re.sub(r"[^A-Za-z0-9_]+", "_", path.strip("/")).strip("_")
+    return f"{ICEBERG_CATALOG}.db.t_{tail}"
 
 
 def write_table(
@@ -69,9 +75,16 @@ def write_table(
         from pyspark.sql import functions as F
 
         _require_iceberg(df.sparkSession)
-        writer = df.writeTo(_ident(path)).using("iceberg")
+        ident = _ident(path)
+        writer = df.writeTo(ident).using("iceberg")
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        # append()/overwritePartitions() require the table to exist; the
+        # FIRST write of any run must create it (with its partition spec)
+        # or every fresh job would fail before writing a row.
+        if not df.sparkSession.catalog.tableExists(ident):
+            writer.create()
+            return
         if mode == "append":
             writer.append()
         else:

@@ -193,6 +193,45 @@ def test_quarantine_mode_survives_corrupt_media(spark):
         X.extract_flat(docs).collect()
 
 
+def test_quarantine_mode_words(spark):
+    """extract_words twin of the quarantine test: a corrupt payload drops
+    that span's word rows (counted once per distinct ref on n_errors, not
+    per occurrence) while healthy spans keep theirs; default still fails."""
+    from ocr_suite_spark.kernels.render import make_media_ref
+    from ocr_suite_spark.metrics import SpeedMeter
+    from ocr_suite_spark.schema import DOCUMENTS
+
+    bad_ref = "img://v1/NOT_A_VALID_REF"
+    docs = spark.createDataFrame(
+        [
+            ("ok1", [{"kind": "media", "text": None, "media_ref": make_media_ref(["alpha"], 0, 1), "offset": 1}]),
+            # same corrupt ref twice in ONE doc: memoized sentinel must make
+            # the second occurrence free (no second decode attempt/count on
+            # the worker that owns it)
+            ("bad", [
+                {"kind": "media", "text": None, "media_ref": bad_ref, "offset": 1},
+                {"kind": "media", "text": None, "media_ref": bad_ref, "offset": 2},
+            ]),
+        ],
+        DOCUMENTS,
+    )
+    meter = SpeedMeter(spark)
+    # salt_partitions=1: both occurrences land on one worker, so the
+    # distinct-payload error count is exactly 1 (cross-worker repeats
+    # legitimately count once per worker)
+    rows = X.extract_words(
+        docs, salt_partitions=1, on_error="quarantine", meter=meter
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["word"])
+    assert by_doc.get("ok1") == ["alpha"]
+    assert "bad" not in by_doc  # quarantined span yields no word rows
+    assert meter.n_errors.value == 1
+    with pytest.raises(Exception, match="unrecognized media_ref"):
+        X.extract_words(docs).collect()
+
+
 def test_extract_edge_inputs(spark):
     """Empty input, text-only docs, media-only docs — the routed union must
     handle an empty branch on either side (and the stats-sized salt

@@ -159,6 +159,22 @@ def test_graceful_stop_between_groups(spark, sf_dir, tmpdirs):
     assert all(r["count"] == 1 for r in per_bucket)  # completed groups not redone
 
 
+def test_graceful_stop_before_first_group(spark, sf_dir, tmpdirs):
+    """A stop request that fires before group 0 ever writes must return a
+    clean empty DataFrame with the output schema — not PATH_NOT_FOUND on a
+    never-created out_dir (ADVICE r2)."""
+    out_dir, ckpt_dir = tmpdirs
+    docs = datagen.interleaved_from_documents(spark, sf_dir).limit(20)
+    res = extract_resumable(
+        spark, docs, out_dir, ckpt_dir, n_buckets=8, bucket_groups=4,
+        stop_requested=lambda: True,
+    )
+    assert res.count() == 0
+    assert {f.name for f in res.schema.fields} >= {"doc_id", "spans"}
+    # and nothing was marked done — a later run starts from scratch
+    assert ProgressStore(spark, ckpt_dir).done_buckets("run-1").count() == 0
+
+
 def test_lineage_fingerprint_recorded(spark, sf_dir, tmpdirs):
     out_dir, ckpt_dir = tmpdirs
     docs = datagen.interleaved_from_documents(spark, sf_dir).limit(50)
