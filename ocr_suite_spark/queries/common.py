@@ -27,6 +27,12 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 GOLDEN_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures", "golden")
 GOLDEN_SF_DIR = "/root/testdata/sf0.01"
 
+# second-SF goldens (sf0.001): never registered as driver oracles — they
+# exist so test_golden_parity can verify the golden pipeline at TWO scale
+# factors, de-risking the sf0.01-pinned oracles against a driver SF change
+GOLDEN_DIR_SMALL = os.path.join(_REPO_ROOT, "tests", "fixtures", "golden-sf0.001")
+GOLDEN_SMALL_SF_DIR = "/root/testdata/sf0.001"
+
 
 def golden_sql(name: str) -> str:
     return f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.parquet')"

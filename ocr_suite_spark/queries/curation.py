@@ -9,8 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
-from .dedup import shingle_rows
+from .common import DUCK_TOKENS, floor3, t, tokens_col
+from .dedup import MAX_SHINGLE_DF, shingle_rows
 from .sampling import _DUCK_KEY, _hash_key
 
 # deterministic held-out eval slice: same hash-membership trick as the
@@ -32,6 +32,14 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     keyed by shingle) — the training corpus streams past it once; at
     10^12 docs you'd compile the eval shingles into a broadcast Bloom
     filter and keep the same one-pass shape. Never all-pairs.
+
+    Hot-shingle cap: training shingles with document frequency >
+    MAX_SHINGLE_DF are dropped BEFORE the eval join. Without it, one
+    boilerplate shingle landing in the eval slice joins every training
+    document containing it — the same skew hole dedup_ngram_jaccard caps
+    (dedup.py MAX_SHINGLE_DF). Dropping high-DF n-grams is also what the
+    public GPT-3/C4 decontamination recipes do: ubiquitous n-grams carry
+    no contamination signal.
     """
     docs = t(spark, sf, "documents")
     is_eval = _hash_key(F.col("doc_id")) < EVAL_THRESHOLD
@@ -41,9 +49,21 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     eval_sh = (
         shingle_rows(docs.where(is_eval)).select("sh").distinct()
     )
-    train_sh = shingle_rows(docs.where(~is_eval)).select("doc_id", "sh").distinct()
+    train_sh = (
+        shingle_rows(docs.where(~is_eval)).select("doc_id", "sh").distinct()
+        # feeds two plan positions (DF aggregation + the capped join input);
+        # materialize once — same discipline as dedup_ngram_jaccard
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        train_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
     return (
-        train_sh.join(eval_sh, "sh")
+        train_sh.join(hot, "sh", "left_anti")
+        .join(eval_sh, "sh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
@@ -59,13 +79,24 @@ WITH eval_sh AS (
 train_sh AS (
   SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh
   FROM documents WHERE NOT ({_DUCK_KEY} < '{EVAL_THRESHOLD}')
+),
+hot AS (
+  SELECT sh FROM train_sh GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
 )
 SELECT doc_id, COUNT(*) AS n_shared_shingles
-FROM train_sh WHERE sh IN (SELECT sh FROM eval_sh)
+FROM train_sh
+WHERE sh NOT IN (SELECT sh FROM hot) AND sh IN (SELECT sh FROM eval_sh)
 GROUP BY doc_id
 """
 
 PACK_CAP = 4096  # chars per packed sequence (stand-in for the token budget)
+
+# docs per prefix-sum chunk. Chunking is the distribution knob: within-chunk
+# windows see <= PACK_CHUNK rows and the chunk-level cumulative window sees
+# n_docs/PACK_CHUNK rows per source. At 10^12 docs you'd size it ~sqrt(n/src)
+# (e.g. 10^6) so both levels stay bounded, or add a third level — the
+# construction telescopes.
+PACK_CHUNK = 64
 
 
 def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
@@ -76,23 +107,53 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     the bin its running offset falls in (docs may straddle a boundary —
     the standard greedy approximation).
 
-    Scale note: the window partitions by source; with few giant sources
-    that is a per-source funnel, so at 10^12 docs you'd compute the
-    prefix sum in two passes (range-partition by (source, doc_id),
-    per-partition sums, broadcast the per-partition offsets, add) — same
-    bin assignment, fully distributed. The per-source window is kept here
-    for oracle bit-parity; the two-pass variant changes no output.
+    Distributed prefix sum (two-pass — r2's per-source window was a
+    single-task funnel over whole sources, the one shape this operator
+    cannot afford since its entire job is corpus-wide):
+
+    1. chunk = floor(doc_id / PACK_CHUNK) — monotone in the doc_id order,
+       so chunks are contiguous ranges of each source's sequence;
+    2. per-(source, chunk) partial sums: one ordinary parallel aggregation;
+    3. per-source cumulative offsets over the CHUNK relation (a window,
+       but over one row per chunk — n/PACK_CHUNK rows, not n);
+    4. within-chunk exclusive prefix (window bounded by PACK_CHUNK rows)
+       + the chunk's offset joined back (AQE broadcasts the tiny chunk
+       relation; unpinned on purpose — its size scales with n/PACK_CHUNK).
+
+    Identical bin assignment to the per-source window form — the oracle
+    (PACK_SQL) keeps that form, so driver parity proves output identity.
     """
-    docs = t(spark, sf, "documents")
-    w = W.partitionBy("source").orderBy("doc_id")
-    prev = F.coalesce(
-        F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-    )
-    assigned = docs.select(
+    docs = t(spark, sf, "documents").select(
         "source",
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.floor(prev / PACK_CAP).cast("long").alias("bin_id"),
+        F.floor(F.col("doc_id") / PACK_CHUNK).alias("chunk"),
+    )
+    chunk_sums = docs.groupBy("source", "chunk").agg(
+        F.sum("n_chars").alias("chunk_sum")
+    )
+    wc = W.partitionBy("source").orderBy("chunk")
+    chunk_off = chunk_sums.select(
+        "source",
+        "chunk",
+        F.coalesce(
+            F.sum("chunk_sum").over(wc.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("chunk_offset"),
+    )
+    ww = W.partitionBy("source", "chunk").orderBy("doc_id")
+    local_prev = F.coalesce(
+        F.sum("n_chars").over(ww.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    assigned = docs.withColumn("local_prev", local_prev).join(
+        chunk_off, ["source", "chunk"]
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor((F.col("chunk_offset") + F.col("local_prev")) / PACK_CAP)
+        .cast("long")
+        .alias("bin_id"),
     )
     return assigned.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"),
@@ -116,7 +177,78 @@ FROM a GROUP BY source, bin_id
 """
 
 
+def quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document: the
+    fraction of tokens taken by the single most frequent token
+    (top_tok_frac) and the fraction of duplicate bigrams
+    (dup_bigram_frac) — the published repetition filters drop documents
+    above thresholds on exactly these ratios (public methodology:
+    Rae et al. 2021 §A1.1).
+
+    Scale: one posexplode + aggregations keyed on doc_id; the only window
+    (bigram lead) partitions per document, so its population is bounded by
+    document length, never corpus size. Tokens are the repo-wide
+    normalized stream (tokens_col), so the metric composes with the other
+    textstats.
+    """
+    docs = t(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tk.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    uni_stats = (
+        tk.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_tok"))
+    )
+    bg_stats = big.groupBy("doc_id").agg(
+        F.count("*").alias("n_bg"), F.countDistinct("bg").alias("d_bg")
+    )
+    return uni_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        floor3(F.col("max_c") / F.col("n_tok")).alias("top_tok_frac"),
+        F.coalesce(
+            floor3((F.col("n_bg") - F.col("d_bg")) / F.col("n_bg")), F.lit(0.0)
+        ).alias("dup_bigram_frac"),
+    )
+
+
+_DUCK_BIGRAMS = (
+    f"list_transform(generate_series(1, greatest(len({DUCK_TOKENS}) - 1, 0)), "
+    f"i -> {DUCK_TOKENS}[i] || ' ' || {DUCK_TOKENS}[i+1])"
+)
+
+QUALITY_REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_tok FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, len(bgs) AS n_bg, len(list_distinct(bgs)) AS d_bg
+  FROM (SELECT doc_id, {_DUCK_BIGRAMS} AS bgs FROM documents)
+)
+SELECT u.doc_id, CAST(u.n_tok AS BIGINT) AS n_tok,
+       FLOOR(u.max_c / u.n_tok * 1000) / 1000 AS top_tok_frac,
+       CASE WHEN b.n_bg > 0
+            THEN FLOOR((b.n_bg - b.d_bg) / b.n_bg * 1000) / 1000
+            ELSE 0.0 END AS dup_bigram_frac
+FROM uni u LEFT JOIN bg b ON u.doc_id = b.doc_id
+"""
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
+    "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
 }

@@ -341,32 +341,52 @@ def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-COS_THRESHOLD = 0.3  # sf0.01 cosines top out at ~0.45: 0.3 keeps ~111 pairs,
-# so the gate exercises real value comparison (r1's 0.5 passed vacuously on
-# 0 rows); production near-dup sweeps would sit at 0.9+ on real embeddings
+COS_THRESHOLD = 0.2  # with label×bucket blocking, 0.2 keeps ~71 pairs at
+# sf0.01, so the gate exercises real value comparison (r1's 0.5 passed
+# vacuously on 0 rows); production near-dup sweeps would sit at 0.9+ on
+# real embeddings
+
+COS_BLOCK_BITS = 4  # sign bits of the coarse ANN bucket used for blocking
+# (coarser than ann_lsh's 8 — fewer bits = higher recall within the block)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by embedding cosine >= COS_THRESHOLD within the same
-    label.
+    (label, coarse ANN bucket) block.
 
-    Scale: label is the blocking key (same role as the LSH band); within a
-    block the pair join is quadratic, so real corpora block on coarse ANN
-    buckets first (see ann_lsh_bucket). The vector NORM is precomputed per
-    row BEFORE the join — per pair only the cross dot product remains
-    (one higher-order fold instead of three; same floats, same results:
-    sqrt(dot(a,a)) is factored, not approximated). sf0.1 wall 6.1 s -> ~2 s.
+    Blocking (r2 blocked on label alone — block-quadratic in label
+    frequency, the one shape that cannot run at 100×): the equi-join key
+    is label × a COS_BLOCK_BITS-bit sign-bucket (similarity._bucket_col,
+    the same family ann_lsh joins on), so the within-block population is
+    bounded by bucket occupancy, not label frequency. Recall trade, stated:
+    a near-dup pair straddling a sign hyperplane is missed — per-hyperplane
+    collision probability is 1 − θ/π (for cos=0.9, θ≈0.45 rad → ~0.86 per
+    bit, ~0.54 over 4 bits on random rotations); multi-probe or a second
+    rotated bucket table recovers the tail, exactly as in ANN practice.
+
+    The vector NORM is precomputed per row BEFORE the join — per pair only
+    the cross dot product remains (one higher-order fold instead of three;
+    same floats, same results: sqrt(dot(a,a)) is factored, not
+    approximated).
     """
+    from .similarity import _bucket_col
+
     emb = t(spark, sf, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
+        _bucket_col(F.col("embedding"), COS_BLOCK_BITS).alias("bk"),
     )
     emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     a, b = emb.alias("a"), emb.alias("b")
     cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -376,15 +396,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DUCK_COS_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(COS_BLOCK_BITS)
+)
+
 DEDUP_EMB_COS_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+  SELECT vec_id, label, bk, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM (SELECT vec_id, label, CAST({_DUCK_COS_BUCKET} AS BIGINT) AS bk,
+               CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 )
 SELECT vec_a, vec_b, cos3 FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 1000) / 1000 AS cos3
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.bk = b.bk AND a.vec_id < b.vec_id
 )
 WHERE cos3 >= {COS_THRESHOLD}
 """

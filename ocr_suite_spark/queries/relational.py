@@ -380,6 +380,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def o1_size_ranked_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-robin over the size-sorted sources — the fully-relational
+    APPROXIMATION of LPT (intended as such; `o1_lpt_assign` below is the
+    reference's exact greedy). On near-uniform sizes the two coincide; on
+    skewed inputs round-robin can diverge from LPT's least-loaded choice."""
     docs = t(spark, sf, "documents")
     totals = docs.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
     rnk = F.row_number().over(W.orderBy(F.col("total_chars").desc(), F.col("source")))
@@ -395,6 +399,74 @@ SELECT source, total_chars, rnk, (rnk - 1) % 4 AS worker
 FROM (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS BIGINT) AS rnk
       FROM documents GROUP BY source)
+"""
+
+O1_NUM_WORKERS = 4
+
+
+def o1_lpt_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """TRUE LPT (longest-processing-time-first): sort sources by total size
+    descending, assign each to the currently LEAST-LOADED worker — exactly
+    the reference's per-file greedy (`min_element` over worker loads,
+    /root/reference/src/viewer/search.cpp:155-163; ties -> lowest index).
+
+    Scale shape: the heavy part (summing 10^12 rows into per-source totals)
+    is a distributed aggregation; the greedy itself runs driver-side over
+    the AGGREGATED relation, which is bounded by the number of files/
+    sources being assigned (thousands at production scale — the same list
+    the reference's viewer loops over in memory). LPT is inherently
+    sequential (each choice depends on all prior loads), so a driver loop
+    over the bounded totals is the honest formulation, not a scale hole.
+    """
+    docs = t(spark, sf, "documents")
+    totals = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy(F.col("total_chars").desc(), "source")
+    )
+    rows = totals.collect()  # bounded: one row per source (not per doc)
+    loads = [0] * O1_NUM_WORKERS
+    out = []
+    for i, r in enumerate(rows, 1):
+        w = min(range(O1_NUM_WORKERS), key=lambda k: loads[k])
+        loads[w] += r["total_chars"]
+        out.append((r["source"], r["total_chars"], i, w))
+    return spark.createDataFrame(
+        out, "source string, total_chars bigint, rnk bigint, worker bigint"
+    )
+
+
+# the greedy as a recursive CTE: the accumulator row carries the four worker
+# loads; each step picks the least-loaded (lowest index on ties), mirroring
+# the python loop exactly
+O1_LPT_SQL = f"""
+WITH RECURSIVE ranked AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS BIGINT) AS rnk
+  FROM documents GROUP BY source
+),
+a AS (
+  SELECT rnk, source, total_chars, CAST(0 AS BIGINT) AS worker,
+         total_chars AS l0, CAST(0 AS BIGINT) AS l1,
+         CAST(0 AS BIGINT) AS l2, CAST(0 AS BIGINT) AS l3
+  FROM ranked WHERE rnk = 1
+  UNION ALL
+  SELECT r.rnk, r.source, r.total_chars,
+         CAST(CASE WHEN a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3 THEN 0
+                   WHEN a.l1 <= a.l2 AND a.l1 <= a.l3 THEN 1
+                   WHEN a.l2 <= a.l3 THEN 2 ELSE 3 END AS BIGINT) AS worker,
+         a.l0 + CASE WHEN a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3 THEN r.total_chars ELSE 0 END AS l0,
+         a.l1 + CASE WHEN NOT (a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3)
+                      AND a.l1 <= a.l2 AND a.l1 <= a.l3 THEN r.total_chars ELSE 0 END AS l1,
+         a.l2 + CASE WHEN NOT (a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3)
+                      AND NOT (a.l1 <= a.l2 AND a.l1 <= a.l3)
+                      AND a.l2 <= a.l3 THEN r.total_chars ELSE 0 END AS l2,
+         a.l3 + CASE WHEN NOT (a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3)
+                      AND NOT (a.l1 <= a.l2 AND a.l1 <= a.l3)
+                      AND NOT (a.l2 <= a.l3) THEN r.total_chars ELSE 0 END AS l3
+  FROM ranked r JOIN a ON r.rnk = a.rnk + 1
+)
+SELECT source, total_chars, rnk, worker FROM a
 """
 
 # ---------------------------------------------------------------------------
@@ -710,6 +782,7 @@ QUERIES = {
     "w3_running_max": (w3_running_max, W3_SQL),
     "w4_lead_lag": (w4_lead_lag, W4_SQL),
     "o1_size_ranked_assign": (o1_size_ranked_assign, O1_SQL),
+    "o1_lpt_assign": (o1_lpt_assign, O1_LPT_SQL),
     "o3_top1_per_group": (o3_top1_per_group, O3_SQL),
     "p23_normalize": (p23_normalize, P23_SQL),
     "p9_frame_time": (p9_frame_time, P9_SQL),

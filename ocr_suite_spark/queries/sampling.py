@@ -101,8 +101,70 @@ FROM documents GROUP BY lang
 """
 
 
+# target mixture weights per source for sample_mixture (unlisted -> 1.0)
+MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0}
+_HASH_SCALE = 4294967296.0  # 2^32: first 8 md5 hex chars as a uniform u32
+
+
+def sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture sampling: downsample each source so the output hits
+    target proportions MIX_WEIGHTS without upsampling — the data-mixing
+    step of a pretraining pipeline (e.g. 3:2:1:… source ratios).
+
+    λ = min_s(n_s / w_s) is the largest feasible scale; source s keeps
+    rate_s = λ·w_s / n_s of its docs. Membership is the same
+    partition-independent hash trick as the other sampling ops, but with a
+    DYNAMIC per-source rate: the first 8 md5 hex chars (a uniform u32 as a
+    hex string) compared against lpad(hex(floor(rate·2^32))) — pure string
+    comparison, bit-identical across engines, no df.sample() anywhere.
+
+    Scale: one count aggregation per source, a 1-row λ broadcast, a
+    source-keyed broadcast join of the tiny rates relation (bounded by the
+    number of sources), then a row-local filter over the streaming corpus.
+    """
+    docs = t(spark, sf, "documents")
+    w_col = F.lit(1.0)
+    for src, w in MIX_WEIGHTS.items():
+        w_col = F.when(F.col("source") == src, F.lit(w)).otherwise(w_col)
+    counts = (
+        docs.groupBy("source").agg(F.count("*").alias("n_s")).withColumn("w_s", w_col)
+    )
+    lam = counts.agg(F.min(F.col("n_s") / F.col("w_s")).alias("lam"))
+    rates = counts.crossJoin(F.broadcast(lam)).select(
+        "source", (F.col("lam") * F.col("w_s") / F.col("n_s")).alias("rate")
+    )
+    hash8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * F.lit(_HASH_SCALE)))), 8, "0"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where((F.col("rate") >= 1.0) | (hash8 < thr))
+        .select("doc_id", "source", "lang")
+    )
+
+
+_DUCK_W = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+) + " ELSE 1.0 END"
+
+SAMPLE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s, {_DUCK_W} AS w_s
+  FROM documents GROUP BY source
+),
+lam AS (SELECT MIN(n_s / w_s) AS lam FROM counts),
+rates AS (SELECT source, (lam.lam * w_s / n_s) AS rate FROM counts, lam)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE r.rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < lpad(lower(hex(CAST(FLOOR(r.rate * {_HASH_SCALE}) AS BIGINT))), 8, '0')
+"""
+
+
 QUERIES = {
     "sample_hash_fraction": (sample_hash_fraction, SAMPLE_HASH_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRAT_SQL),
     "nchars_quantiles": (nchars_quantiles, NCHARS_QUANTILES_SQL),
+    "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
 }

@@ -80,11 +80,13 @@ WHERE rnk <= {TOP_K}
 """
 
 
-def _bucket_col(e: Column) -> Column:
-    """Deterministic LSH bucket: sign bits of the first N dims (axis-aligned
-    hyperplanes — a seeded random rotation would replace this at scale)."""
+def _bucket_col(e: Column, n_bits: int = N_SIGN_BITS) -> Column:
+    """Deterministic LSH bucket: sign bits of the first n_bits dims
+    (axis-aligned hyperplanes — a seeded random rotation would replace this
+    at scale). Fewer bits = coarser buckets = higher recall; dedup's
+    embedding-cosine blocking reuses this at 4 bits."""
     bucket = F.lit(0)
-    for i in range(N_SIGN_BITS):
+    for i in range(n_bits):
         bucket = bucket + F.when(F.element_at(e, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket.cast("long")
 

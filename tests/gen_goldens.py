@@ -50,22 +50,30 @@ def corpus_identity_check(spark) -> None:
 
 def main() -> None:
     from ocr_suite_spark.queries import GOLDEN_QUERIES, REGISTRY
-    from ocr_suite_spark.queries.common import GOLDEN_DIR, GOLDEN_SF_DIR
+    from ocr_suite_spark.queries.common import (
+        GOLDEN_DIR,
+        GOLDEN_DIR_SMALL,
+        GOLDEN_SF_DIR,
+        GOLDEN_SMALL_SF_DIR,
+    )
     from ocr_suite_spark.session import get_spark
 
     spark = get_spark(cores=16, shuffle_partitions=16, app="gen-goldens")
+    # corpus identity is asserted at the driver's grading SF; the sf0.001
+    # goldens inherit datagen's purity (same deterministic Column exprs)
     corpus_identity_check(spark)
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in sorted(GOLDEN_QUERIES):
-        fn, _ = REGISTRY[name]
-        pdf = fn(spark, GOLDEN_SF_DIR).toPandas()
-        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
-        pdf.to_parquet(path, index=False)
-        canon = pdf.reindex(sorted(pdf.columns), axis=1).astype(str)
-        h = hashlib.md5(
-            "\n".join(sorted("\x00".join(r) for r in canon.itertuples(index=False))).encode()
-        ).hexdigest()[:12]
-        print(f"{name}: {len(pdf)} rows, hash {h}, {os.path.getsize(path)} bytes")
+    for sf_dir, out_dir in ((GOLDEN_SF_DIR, GOLDEN_DIR), (GOLDEN_SMALL_SF_DIR, GOLDEN_DIR_SMALL)):
+        os.makedirs(out_dir, exist_ok=True)
+        for name in sorted(GOLDEN_QUERIES):
+            fn, _ = REGISTRY[name]
+            pdf = fn(spark, sf_dir).toPandas()
+            path = os.path.join(out_dir, f"{name}.parquet")
+            pdf.to_parquet(path, index=False)
+            canon = pdf.reindex(sorted(pdf.columns), axis=1).astype(str)
+            h = hashlib.md5(
+                "\n".join(sorted("\x00".join(r) for r in canon.itertuples(index=False))).encode()
+            ).hexdigest()[:12]
+            print(f"{sf_dir.rsplit('/', 1)[-1]} {name}: {len(pdf)} rows, hash {h}, {os.path.getsize(path)} bytes")
     spark.stop()
 
 

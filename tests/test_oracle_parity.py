@@ -50,6 +50,25 @@ def test_golden_parity(spark, duck_medium, name):
     assert not problems, problems
 
 
+@pytest.mark.parametrize("name", sorted(GOLDEN_QUERIES))
+def test_golden_parity_second_sf(spark, name):
+    """Two-SF golden sanity (VERDICT r2 ask #9): the same golden pipeline
+    verified against committed sf0.001 fixtures, so a driver SF change
+    can't silently invalidate the sf0.01-pinned oracles without this
+    tripping first."""
+    import duckdb
+    import os
+
+    from ocr_suite_spark.queries.common import GOLDEN_DIR_SMALL, GOLDEN_SMALL_SF_DIR
+
+    fixture = os.path.join(GOLDEN_DIR_SMALL, f"{name}.parquet")
+    assert os.path.exists(fixture), f"missing {fixture}; run tests/gen_goldens.py"
+    want = duckdb.connect().execute(f"SELECT * FROM read_parquet('{fixture}')").df()
+    got = REGISTRY[name][0](spark, GOLDEN_SMALL_SF_DIR).toPandas()
+    problems = compare(got, want)
+    assert not problems, problems
+
+
 def test_every_query_has_an_oracle():
     """r2 invariant: zero rows-only queries — everything registered is
     value-level gradeable (recomputing SQL or golden fixture)."""

@@ -157,6 +157,26 @@ def test_plan_w1_topk_is_take_ordered(spark, sf_dir):
     assert 0 < win_pos < take_pos, plan
 
 
+def test_plan_pack_sequences_no_per_source_window(spark):
+    """pack_sequences' prefix sum must be the two-pass distributed form:
+    every window ordering per-doc rows (ORDER BY doc_id) must also
+    partition by `chunk` — a window partitioned by source alone over the
+    full corpus is the single-task-per-source funnel the r2 verdict flagged.
+    (The one source-only window allowed is the chunk-level cumulative, which
+    orders by `chunk`, not doc_id, and runs over n/PACK_CHUNK rows.)"""
+    import re
+
+    from ocr_suite_spark.queries.curation import pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    plan = pack_sequences(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        if "doc_id" in spec:  # the per-doc prefix window
+            assert "chunk" in spec, f"per-doc window not chunk-partitioned: {spec}"
+
+
 def test_plan_ann_broadcasts_query_side(spark):
     """ANN joins must build (broadcast) the tiny QUERY side, never the
     corpus: BuildLeft with queries on the left is the only shape that
