@@ -121,9 +121,17 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
        relation; unpinned on purpose — its size scales with n/PACK_CHUNK).
 
     Identical bin assignment to the per-source window form — the oracle
-    (PACK_SQL) keeps that form, so driver parity proves output identity.
+    (PACK_SQL) keeps that form, so driver parity proves output identity
+    (tests/test_sources.py adds a hypothesis property test on adversarial
+    shapes: one giant source, singleton sources, boundary-straddling docs).
     """
-    docs = t(spark, sf, "documents").select(
+    return pack_bins(t(spark, sf, "documents"))
+
+
+def pack_bins(docs: DataFrame) -> DataFrame:
+    """The distributed binning over any (source, doc_id, n_chars) relation
+    (see pack_sequences for the algorithm)."""
+    docs = docs.select(
         "source",
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
