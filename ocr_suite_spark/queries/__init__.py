@@ -27,6 +27,7 @@ from . import (
     scalars,
     similarity,
     textstats,
+    webextract,
 )
 
 # Registry order IS the driver's grading order, and the driver grades exactly
@@ -39,7 +40,7 @@ from . import (
 # form so their prior round's green row remains their proof (COVERAGE.md
 # records which round each query was last driver-graded).
 _MODULES = [
-    extraction, multimodal, sampling, curation,
+    extraction, multimodal, sampling, curation, webextract,
     dedup, scalars, relational,
     similarity, textstats,
 ]

@@ -177,6 +177,22 @@ def test_plan_pack_sequences_no_per_source_window(spark):
             assert "chunk" in spec, f"per-doc window not chunk-partitioned: {spec}"
 
 
+def test_plan_html_main_content_jvm_side(spark):
+    """The DOM-heuristic extraction is pure Column exprs: no Python eval
+    nodes anywhere in its plan, and the only window partitions per doc."""
+    import re
+
+    from ocr_suite_spark.queries.webextract import html_main_content
+
+    plan = (
+        html_main_content(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec  # every window is per-document
+
+
 def test_plan_ann_broadcasts_query_side(spark):
     """ANN joins must build (broadcast) the tiny QUERY side, never the
     corpus: BuildLeft with queries on the left is the only shape that
