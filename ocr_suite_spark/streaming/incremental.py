@@ -60,6 +60,57 @@ def stream_extract_available_now(
     return n_batches["n"]
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time counterpart of the batch
+    `dedup_exact` query: drop re-arrivals of identical content (same
+    md5(text)) within an event-time watermark window.
+
+    Spark-native statefulness: `dropDuplicatesWithinWatermark` keeps one
+    state row per content hash and EVICTS it once the watermark passes —
+    bounded state on an unbounded stream, which a batch `distinct` cannot
+    provide. At crawl scale this is the dedup you run in the ingest path
+    (re-crawls of an unchanged page arrive near each other in time), with
+    the batch MinHash/LSH sweep downstream for long-range near-dups.
+
+    Input: parquet files of (doc_id string, text string, ts timestamp).
+    Returns the deduped rows drained via AvailableNow (test/smoke path;
+    a resident pipeline would writeStream to the corpus table instead).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = (
+        src.withColumn("content_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    name = "stream_dedup_out"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT doc_id, text, ts, content_hash FROM {name}")
+
+
 def stream_rate_meter(spark: SparkSession, events_dir: str, window: str = "5 seconds") -> DataFrame:
     """The speed_meter analog (reference speed_meter.cpp:35-58, 5s interval):
     windowed per-event-type rates over a streamed events table. Returns the

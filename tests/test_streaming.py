@@ -58,6 +58,38 @@ def test_incremental_extraction_resumes_without_recompute(spark, sf_dir, dirs):
     assert len(_sequences(spark.read.parquet(out_dir))) == 80
 
 
+def test_stream_dedup_exact_drops_rearrivals(spark, dirs):
+    """Streaming exact dedup: identical content re-arriving within the
+    watermark window is dropped (one survivor per content hash), across
+    micro-batches and source files; distinct content all survives."""
+    import datetime as dt
+
+    from ocr_suite_spark.streaming.incremental import stream_dedup_exact
+
+    in_dir, _, ckpt = dirs
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [
+        ("a", "alpha bravo", t0),
+        ("b", "charlie delta", t0 + dt.timedelta(seconds=10)),
+        ("a2", "alpha bravo", t0 + dt.timedelta(seconds=20)),  # dup of a
+    ]
+    rows2 = [
+        ("c", "echo foxtrot", t0 + dt.timedelta(seconds=30)),
+        ("b2", "charlie delta", t0 + dt.timedelta(seconds=40)),  # dup of b
+        ("d", "golf hotel", t0 + dt.timedelta(seconds=50)),
+    ]
+    schema = "doc_id string, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = stream_dedup_exact(spark, in_dir, ckpt).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    assert set(by_text) == {"alpha bravo", "charlie delta", "echo foxtrot", "golf hotel"}
+    assert all(len(v) == 1 for v in by_text.values()), by_text
+
+
 def test_rate_meter_windows(spark, sf_dir):
     out = stream_rate_meter(spark, f"{sf_dir}/events.parquet")
     rows = out.collect()
