@@ -419,6 +419,72 @@ WHERE cos3 >= {COS_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# repeated-passage detection (exact-substring dedup, Lee et al. 2021 style)
+
+MIN_PASSAGE_RUN = 3  # >=3 consecutive duplicated 3-shingles = >=5 shared tokens
+
+
+def dedup_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated PASSAGES within documents: maximal runs of
+    consecutive 3-shingles that also occur in at least one other document
+    — the span-level counterpart of doc-level near-dup (public
+    methodology: 'Deduplicating Training Data Makes Language Models
+    Better', Lee et al. 2021, which removes repeated substrings rather
+    than whole documents). Output (doc_id, start_pos, end_pos,
+    n_shingles) is the removal list a curation pass would cut.
+
+    Scale: shingle DF is one aggregation; the duplicated-position set
+    comes back via a LEFT SEMI join on the shingle (no fan-out — each
+    position appears once regardless of how many docs share the
+    shingle); runs are grouped with the classic gaps-and-islands key
+    (pos − row_number), a per-document window bounded by doc length.
+    """
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf, "documents")
+    sh = shingle_rows(docs).select("doc_id", "pos", "sh")
+    dup_sh = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("sh")
+    )
+    dup_pos = sh.join(dup_sh, "sh", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn("rk", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "rk")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+            F.count("*").cast("long").alias("n_shingles"),
+        )
+        .where(F.col("n_shingles") >= MIN_PASSAGE_RUN)
+        .select("doc_id", "start_pos", "end_pos", "n_shingles")
+    )
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         generate_subscripts({DUCK_SHINGLES}, 1) - 1 AS pos,
+         unnest({DUCK_SHINGLES}) AS sh
+  FROM documents
+),
+dup_sh AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+  FROM sh WHERE sh IN (SELECT sh FROM dup_sh)
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) AS BIGINT) AS end_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM runs GROUP BY doc_id, rk HAVING COUNT(*) >= {MIN_PASSAGE_RUN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup clusters: connected components over the candidate-pair graph
 
 
@@ -550,6 +616,7 @@ QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }
