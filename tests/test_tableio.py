@@ -38,3 +38,18 @@ def test_iceberg_branch_fails_fast_without_catalog(spark):
         tableio.write_table(df, "/tmp/nope", fmt="iceberg")
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         tableio.read_table(spark, "/tmp/nope", fmt="iceberg")
+
+
+def test_iceberg_ident_unique_per_path():
+    """Distinct directories must map to distinct Iceberg identifiers —
+    run1/out and run2/out colliding onto one table would let two runs
+    silently overwrite each other (ADVICE r2)."""
+    a = tableio._ident("/data/run1/out")
+    b = tableio._ident("/data/run2/out")
+    assert a != b
+    # bare table names pass through to the catalog untouched
+    assert tableio._ident("progress") == f"{tableio.ICEBERG_CATALOG}.progress"
+    # idents are valid dotted identifiers (sanitized, no stray chars)
+    import re
+
+    assert re.fullmatch(r"[A-Za-z0-9_.]+", a), a
