@@ -1,0 +1,96 @@
+"""The end-to-end corpus-curation funnel: the training-data pipeline as
+one composable job, built from the same graded operators the registry
+exposes individually.
+
+    documents
+      └─ 1. near-dup removal      (MinHash→LSH→clusters→keep canonical)
+      └─ 2. eval decontamination  (shared-shingle threshold vs held-out slice)
+      └─ 3. quality filtering     (Gopher-style repetition thresholds)
+      └─ 4. mixture sampling      (target source proportions, deterministic)
+      └─ 5. sequence packing      (two-pass distributed prefix-sum binning)
+
+Every stage is an anti-/semi-join of the survivor set against an
+operator's output keyed on doc_id — the corpus rows stream through; the
+filter relations are the operators' (much smaller) outputs. Stage
+surviving-counts are one count() per stage on the shrinking survivor
+relation — the job-summary cost a real pipeline pays too (or replaces
+with accumulators).
+
+Reference analog: the reference chains scan→filter→recognize→store per
+video (ocs pipeline); this is the corpus-level counterpart for the
+training-data layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tableio
+from .queries.common import t
+from .queries.curation import pack_bins, quality_repetition, decontaminate
+from .queries.dedup import dedup_keep_canonical
+from .queries.sampling import sample_mixture
+
+# default thresholds (tuned to be non-trivial on the synthetic corpus;
+# production values come from corpus profiling — nchars_quantiles etc.)
+DECON_MIN_SHARED = 3  # drop train docs sharing >= this many eval shingles
+MAX_TOP_TOK_FRAC = 0.12  # Gopher-style repetition ceilings
+MAX_DUP_BIGRAM_FRAC = 0.08
+
+
+def curate(
+    spark: SparkSession,
+    sf: str,
+    out_dir: str | None = None,
+    decon_min_shared: int = DECON_MIN_SHARED,
+    max_top_tok: float = MAX_TOP_TOK_FRAC,
+    max_dup_bigram: float = MAX_DUP_BIGRAM_FRAC,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Run the funnel; returns (surviving docs, packed bins, stage counts).
+
+    If out_dir is given, writes `<out_dir>/survivors` (doc_id, lang,
+    source) and `<out_dir>/packed` (source, bin_id, n_docs, n_chars,
+    first_doc) as managed tables via tableio.
+    """
+    docs = t(spark, sf, "documents")
+    stages: dict[str, int] = {"input": docs.count()}
+
+    # 1. near-dup removal — keep each cluster's canonical doc
+    survivors = dedup_keep_canonical(spark, sf).select("doc_id", "lang", "source")
+    stages["after_dedup"] = survivors.count()
+
+    # 2. eval-set decontamination — threshold on shared-shingle count
+    contaminated = (
+        decontaminate(spark, sf)
+        .where(F.col("n_shared_shingles") >= decon_min_shared)
+        .select("doc_id")
+    )
+    survivors = survivors.join(contaminated, "doc_id", "left_anti")
+    stages["after_decontaminate"] = survivors.count()
+
+    # 3. repetition-quality filter
+    bad_quality = (
+        quality_repetition(spark, sf)
+        .where(
+            (F.col("top_tok_frac") > max_top_tok)
+            | (F.col("dup_bigram_frac") > max_dup_bigram)
+        )
+        .select("doc_id")
+    )
+    survivors = survivors.join(bad_quality, "doc_id", "left_anti")
+    stages["after_quality"] = survivors.count()
+
+    # 4. deterministic mixture sampling toward target source proportions
+    mixed = sample_mixture(spark, sf).select("doc_id")
+    survivors = survivors.join(mixed, "doc_id", "left_semi")
+    stages["after_mixture"] = survivors.count()
+
+    # 5. pack the surviving corpus into training-sequence bins
+    packed = pack_bins(docs.join(survivors.select("doc_id"), "doc_id", "left_semi"))
+    stages["packed_bins"] = packed.count()
+
+    if out_dir:
+        tableio.write_table(survivors, f"{out_dir.rstrip('/')}/survivors")
+        tableio.write_table(packed, f"{out_dir.rstrip('/')}/packed")
+    return survivors, packed, stages
