@@ -74,3 +74,28 @@ def test_every_query_has_an_oracle():
     value-level gradeable (recomputing SQL or golden fixture)."""
     missing = [name for name, (_, sql) in REGISTRY.items() if sql is None]
     assert missing == [], missing
+
+
+# Queries allowed to sit past the driver's 50-entry grading prefix: fully
+# green in CORRECTNESS_r02.json (rows+schema+hash) and semantically frozen
+# since that run — r02 is their standing proof (COVERAGE.md). Anything NOT
+# on this list must stay inside the prefix so it gets a driver row.
+R02_PROVEN_FROZEN = {
+    "s13_json_line", "s14_csv_line", "s15_json_parse",
+    "q1_pricing_summary", "q3_top_revenue", "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "ann_topk_bruteforce", "ann_lsh_histogram", "ann_lsh_topk", "ann_ivf_topk",
+    "lang_id_ngram", "quality_score", "token_count", "doc_fingerprint",
+    "p6_word_split_pos", "p7_coord_normalize", "p8_confidence_scale",
+    "p10_filename_ts", "j4_point_lookup", "a8_progress_pct",
+    "p23_normalize", "p9_frame_time", "p12_date_format",
+}
+
+
+def test_grading_prefix_covers_unproven_queries():
+    """The driver grades exactly the first 50 registry entries. Every query
+    that is new or changed (i.e. not on the frozen r02-proven list) must
+    sit inside that prefix, or it ships without any driver row."""
+    names = list(REGISTRY)
+    ungraded = [n for n in names[50:] if n not in R02_PROVEN_FROZEN]
+    assert ungraded == [], f"queries past the grading prefix without prior proof: {ungraded}"
