@@ -10,11 +10,21 @@ overwrites — the one writer the design assumes (ProgressStore docstring)
 becomes an enforced invariant instead of a convention.
 
 Semantics:
-- acquire = atomic O_CREAT|O_EXCL create of ``<ckpt>/LOCK`` holding
+- acquire = O_CREAT|O_EXCL create of ``<ckpt>/LOCK`` holding
   ``{"pid": ..., "host": ..., "acquired_at": ...}``.
-- held by a LIVE pid on this host -> ``LockHeldError``.
+- held by a LIVE pid on this host -> ``LockHeldError`` (EPERM from the
+  liveness probe means the pid exists under another user = live).
 - stale (pid dead) or corrupt (unparseable json) -> taken over, like the
   reference.
+- The whole acquire section is serialized through a kernel ``flock`` on a
+  sidecar (``LOCK.mutex``): check-alive → unlink-stale → create is one
+  critical section, so two racing takeovers can never both succeed (the
+  reference's unlink-then-create has that race; an earlier rename-based
+  fix here still let a second rename land after the first racer's
+  ownership check). flock is released by the kernel if the holder dies
+  mid-acquire, so the sidecar cannot itself go stale. The LOCK file stays
+  the visible pid record (reference contract); the sidecar is only the
+  acquire mutex.
 - on a real cluster the driver host runs exactly one of these per job;
   cross-host mutual exclusion comes from the storage layer (Iceberg
   snapshot CAS) — this lock is the driver-side guard, as in the
@@ -79,38 +89,29 @@ class SingleInstanceLock:
             return False
 
     def acquire(self) -> "SingleInstanceLock":
+        import fcntl
+
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        # Kernel-serialized acquire section: every would-be holder queues on
+        # the sidecar flock, so liveness-check + stale-unlink + create is
+        # atomic as a unit. Auto-released on process death — no stale guard.
+        gfd = os.open(f"{self.path}.mutex", os.O_CREAT | os.O_RDWR)
         try:
+            fcntl.flock(gfd, fcntl.LOCK_EX)
+            if os.path.exists(self.path):
+                if self._owner_alive():
+                    raise LockHeldError(
+                        f"another extraction holds {self.path} "
+                        "(live pid; refusing to run concurrently)"
+                    )
+                os.unlink(self.path)  # stale/corrupt: safe under the flock
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            if self._owner_alive():
-                raise LockHeldError(
-                    f"another extraction holds {self.path} "
-                    "(live pid; refusing to run concurrently)"
-                ) from None
-            # Stale/corrupt: take over by atomically renaming a fresh
-            # lockfile OVER the stale one (never unlink-then-create — two
-            # racing takeovers could each observe the stale file, and the
-            # loser's pending unlink would delete the winner's fresh lock,
-            # leaving two holders). rename is atomic; exactly one payload
-            # survives, and the post-verify below decides who won.
-            tmp = f"{self.path}.takeover.{os.getpid()}"
-            with open(tmp, "wb") as f:
+            with os.fdopen(fd, "wb") as f:
                 f.write(self._payload())
-            os.rename(tmp, self.path)
-            if not self._owns():
-                raise LockHeldError(
-                    f"lost stale-takeover race for {self.path}"
-                ) from None
             return self
-        with os.fdopen(fd, "wb") as f:
-            f.write(self._payload())
-        # Post-create verify: a concurrent stale-takeover rename can clobber
-        # an O_EXCL create that landed between its liveness check and its
-        # rename; ownership is only real if our pid is the one on disk.
-        if not self._owns():
-            raise LockHeldError(f"lost acquisition race for {self.path}")
-        return self
+        finally:
+            fcntl.flock(gfd, fcntl.LOCK_UN)
+            os.close(gfd)
 
     def release(self) -> None:
         if not self._owns():

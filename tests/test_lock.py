@@ -68,3 +68,45 @@ def test_extract_resumable_is_single_instance(spark, sf_dir, ckpt):
     res = extract_resumable(spark, docs, ckpt + "/out", ckpt, n_buckets=2)
     assert res.count() == 10
     assert not os.path.exists(os.path.join(ckpt, "LOCK"))
+
+
+def test_concurrent_stale_takeover_race(ckpt):
+    """The reference's two-subprocess race, hardened: N processes racing to
+    take over one STALE lock must produce exactly ONE holder (the flock'd
+    acquire section makes check-alive -> unlink -> create atomic; the naive
+    unlink-then-create — and even rename-then-verify — can mint two)."""
+    import multiprocessing as mp
+
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    with open(os.path.join(ckpt, "LOCK"), "w") as f:
+        json.dump({"pid": dead.pid, "host": socket.gethostname(), "acquired_at": 0}, f)
+
+    def racer(q, barrier, done, ckpt_dir):
+        from ocr_suite_spark.lock import LockHeldError, SingleInstanceLock
+
+        barrier.wait()  # all racers start the acquire simultaneously
+        try:
+            lk = SingleInstanceLock(ckpt_dir).acquire()
+            q.put(("won", os.getpid()))
+            done.wait()  # hold until every racer has attempted exactly once
+            lk.release()
+        except LockHeldError:
+            q.put(("lost", os.getpid()))
+            done.wait()
+
+    n = 8
+    q: mp.Queue = mp.Queue()
+    barrier = mp.Barrier(n)
+    done = mp.Barrier(n)
+    procs = [mp.Process(target=racer, args=(q, barrier, done, ckpt)) for _ in range(n)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in range(n)]
+    for p in procs:
+        p.join()
+    winners = [pid for status, pid in results if status == "won"]
+    assert len(winners) == 1, results
+    # and the lock is released again after the winner exits
+    with SingleInstanceLock(ckpt):
+        pass
