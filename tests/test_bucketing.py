@@ -95,3 +95,38 @@ def test_bucketed_join_is_exchange_free(spark, docs_tbl):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS docs_meta_t")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md's other standing claim: residual key skew that salting
+    doesn't own is handled by AQE's skew-join split at runtime. A join
+    where 90% of left rows share one key re-plans to
+    SortMergeJoin(skew=true) — the skewed partition is split into
+    advisory-sized subpartitions instead of pinning one task."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(20000).select(F.col("id").alias("k"), F.lit("meta").alias("m"))
+        j = left.join(right, "k")
+        n = len(j.collect())  # drive THIS df's query execution to its final adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == 182000
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
