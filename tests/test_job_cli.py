@@ -1,0 +1,93 @@
+"""Job-CLI behavior that only shows up in a real process: SIGTERM
+graceful shutdown mid-run (T5 end-to-end through the signal handler, not
+just the stop_requested hook) and the curate funnel CLI."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def d():
+    d = tempfile.mkdtemp(prefix="ocs-jobcli-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return env
+
+
+def test_extract_job_sigterm_graceful_then_resume(d):
+    """SIGTERM mid-run: the job finishes the in-flight bucket group,
+    commits it, prints the shutdown notice, exits 0. A second run resumes
+    and completes without redoing committed groups."""
+    args = [
+        sys.executable, os.path.join(REPO, "jobs", "extract_job.py"),
+        "--input", "/root/testdata/sf0.001",
+        "--output", f"{d}/out", "--checkpoint", f"{d}/ckpt",
+        "--n-buckets", "16", "--bucket-groups", "16",
+        "--report-interval", "0",
+    ]
+    p = subprocess.Popen(
+        args, env=_env(), cwd=d, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # wait for the first bucket group to COMMIT (progress table appears),
+    # then request shutdown — deterministic "mid-run", no sleep guessing
+    progress = f"{d}/ckpt/progress"
+    deadline = time.time() + 300
+    while time.time() < deadline and not os.path.exists(progress):
+        if p.poll() is not None:
+            pytest.fail("job exited before first group committed")
+        time.sleep(0.2)
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out[-2000:]
+    assert "[shutdown]" in out
+    summary = json.loads([line for line in out.splitlines() if line.startswith("{")][-1])
+    assert 1 <= summary["buckets_done"] <= 16
+
+    interrupted_done = summary["buckets_done"]
+    out2 = subprocess.run(
+        args, env=_env(), cwd=d, capture_output=True, text=True, timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    summary2 = json.loads(
+        [line for line in out2.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert summary2["docs"] == 500
+    assert summary2["buckets_done"] == 16
+    # committed groups were not redone: if the first run was interrupted
+    # partway, the resume only added the missing buckets
+    assert summary2["buckets_done"] - interrupted_done <= 16 - interrupted_done
+
+
+def test_curate_job_cli(d):
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate_job.py"),
+            "--input", "/root/testdata/sf0.001", "--output", f"{d}/cur",
+        ],
+        env=_env(), cwd=d, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(
+        [line for line in out.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert summary["input"] == 500
+    assert 0 < summary["after_mixture"] < summary["input"]
+    assert os.path.exists(f"{d}/cur/survivors") and os.path.exists(f"{d}/cur/packed")
