@@ -134,13 +134,23 @@ def run_ab_merged(cores: int, sf_dir: str, rounds: int = 5) -> dict:
     )
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # one-time materialization cost, measured alone (cold write vs warm read)
+    # one-time materialization cost, measured alone (cold write vs warm
+    # read). The cache path mirrors datagen.materialized_corpus's scheme;
+    # the marker asserts keep this honest — if datagen's key derivation
+    # ever drifts, the cold run would silently hit a still-warm cache and
+    # underreport, so fail loudly instead.
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     cache_path = f"/tmp/ocs_corpus/{key}"
+    marker = f"{cache_path}/_SUCCESS"
     shutil.rmtree(cache_path, ignore_errors=True)
+    assert not os.path.exists(marker)
     t0 = time.time()
     datagen.materialized_corpus(spark, sf_dir).count()
     mat_cold = time.time() - t0
+    assert os.path.exists(marker), (
+        "datagen.materialized_corpus cache scheme drifted from bench.py's "
+        f"expectation ({cache_path}) — cold timing would be wrong"
+    )
     t0 = time.time()
     datagen.materialized_corpus(spark, sf_dir).count()
     mat_warm = time.time() - t0

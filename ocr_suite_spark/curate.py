@@ -4,10 +4,13 @@ exposes individually.
 
     documents
       └─ 1. near-dup removal      (MinHash→LSH→clusters→keep canonical)
-      └─ 2. eval decontamination  (shared-shingle threshold vs held-out slice)
-      └─ 3. quality filtering     (Gopher-style repetition thresholds)
-      └─ 4. mixture sampling      (target source proportions, deterministic)
-      └─ 5. sequence packing      (two-pass distributed prefix-sum binning)
+      └─ 2. eval-holdout removal  (the held-out slice itself leaves the
+                                   training corpus — training on it would
+                                   contaminate the eval by construction)
+      └─ 3. eval decontamination  (shared-shingle threshold vs held-out slice)
+      └─ 4. quality filtering     (Gopher-style repetition thresholds)
+      └─ 5. mixture sampling      (target source proportions, deterministic)
+      └─ 6. sequence packing      (two-pass distributed prefix-sum binning)
 
 Every stage is an anti-/semi-join of the survivor set against an
 operator's output keyed on doc_id — the corpus rows stream through; the
@@ -56,20 +59,45 @@ def curate(
     docs = t(spark, sf, "documents")
     stages: dict[str, int] = {"input": docs.count()}
 
-    # 1. near-dup removal — keep each cluster's canonical doc
-    survivors = dedup_keep_canonical(spark, sf).select("doc_id", "lang", "source")
-    stages["after_dedup"] = survivors.count()
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        # materialize each stage boundary once: the count() below plus
+        # every later stage / the pack / the writes would otherwise
+        # re-execute the whole upstream chain per consumer (Spark shares
+        # no common subplans) — same localCheckpoint discipline as
+        # decontaminate / dedup_clusters use internally
+        df = df.localCheckpoint(eager=True)
+        stages[name] = df.count()
+        return df
 
-    # 2. eval-set decontamination — threshold on shared-shingle count
+    # 1. near-dup removal — keep each cluster's canonical doc
+    survivors = _stage(
+        dedup_keep_canonical(spark, sf).select("doc_id", "lang", "source"),
+        "after_dedup",
+    )
+
+    # 2. remove the held-out eval slice ITSELF from the training corpus:
+    # decontaminate() only flags train docs sharing eval shingles — the
+    # eval docs would otherwise sail through every anti-join and be
+    # trained on, contaminating the eval by construction
+    from .queries.curation import EVAL_THRESHOLD
+    from .queries.sampling import _hash_key
+
+    survivors = _stage(
+        survivors.where(~(_hash_key(F.col("doc_id")) < EVAL_THRESHOLD)),
+        "after_holdout",
+    )
+
+    # 3. eval-set decontamination — threshold on shared-shingle count
     contaminated = (
         decontaminate(spark, sf)
         .where(F.col("n_shared_shingles") >= decon_min_shared)
         .select("doc_id")
     )
-    survivors = survivors.join(contaminated, "doc_id", "left_anti")
-    stages["after_decontaminate"] = survivors.count()
+    survivors = _stage(
+        survivors.join(contaminated, "doc_id", "left_anti"), "after_decontaminate"
+    )
 
-    # 3. repetition-quality filter
+    # 4. repetition-quality filter
     bad_quality = (
         quality_repetition(spark, sf)
         .where(
@@ -78,16 +106,18 @@ def curate(
         )
         .select("doc_id")
     )
-    survivors = survivors.join(bad_quality, "doc_id", "left_anti")
-    stages["after_quality"] = survivors.count()
+    survivors = _stage(
+        survivors.join(bad_quality, "doc_id", "left_anti"), "after_quality"
+    )
 
-    # 4. deterministic mixture sampling toward target source proportions
+    # 5. deterministic mixture sampling toward target source proportions
     mixed = sample_mixture(spark, sf).select("doc_id")
-    survivors = survivors.join(mixed, "doc_id", "left_semi")
-    stages["after_mixture"] = survivors.count()
+    survivors = _stage(survivors.join(mixed, "doc_id", "left_semi"), "after_mixture")
 
-    # 5. pack the surviving corpus into training-sequence bins
-    packed = pack_bins(docs.join(survivors.select("doc_id"), "doc_id", "left_semi"))
+    # 6. pack the surviving corpus into training-sequence bins
+    packed = pack_bins(
+        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
     stages["packed_bins"] = packed.count()
 
     if out_dir:

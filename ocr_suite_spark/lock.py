@@ -88,38 +88,56 @@ class SingleInstanceLock:
         except Exception:
             return False
 
-    def acquire(self) -> "SingleInstanceLock":
+    def _with_mutex(self, fn):
+        """Run fn under an exclusive kernel flock on the sidecar. BOTH
+        acquire and release take it, so the acquire section's
+        check-alive → unlink-stale → create can never interleave with a
+        holder's release (a release without the flock could unlink LOCK
+        between a waiter's exists-check and its unlink, crashing the
+        waiter). The flock is released by the kernel if the process dies
+        mid-section — the sidecar cannot go stale."""
         import fcntl
 
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        # Kernel-serialized acquire section: every would-be holder queues on
-        # the sidecar flock, so liveness-check + stale-unlink + create is
-        # atomic as a unit. Auto-released on process death — no stale guard.
         gfd = os.open(f"{self.path}.mutex", os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(gfd, fcntl.LOCK_EX)
+            return fn()
+        finally:
+            fcntl.flock(gfd, fcntl.LOCK_UN)
+            os.close(gfd)
+
+    def acquire(self) -> "SingleInstanceLock":
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+
+        def _acquire():
             if os.path.exists(self.path):
                 if self._owner_alive():
                     raise LockHeldError(
                         f"another extraction holds {self.path} "
                         "(live pid; refusing to run concurrently)"
                     )
-                os.unlink(self.path)  # stale/corrupt: safe under the flock
+                try:
+                    os.unlink(self.path)  # stale/corrupt takeover
+                except FileNotFoundError:
+                    pass  # vanished between exists() and unlink (crashed owner's
+                    # cleanup, NFS, ...) — absent is exactly what we wanted
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "wb") as f:
                 f.write(self._payload())
             return self
-        finally:
-            fcntl.flock(gfd, fcntl.LOCK_UN)
-            os.close(gfd)
+
+        return self._with_mutex(_acquire)
 
     def release(self) -> None:
-        if not self._owns():
-            return  # never delete a lock we don't hold
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        def _release():
+            if not self._owns():
+                return  # never delete a lock we don't hold
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+
+        self._with_mutex(_release)
 
     def __enter__(self) -> "SingleInstanceLock":
         return self.acquire()

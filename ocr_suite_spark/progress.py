@@ -147,12 +147,25 @@ def extract_resumable(
     # The final read must survive a graceful stop that fired before group 0
     # ever wrote (out_dir absent) and a first group that wrote zero rows (a
     # partitioned empty write leaves a directory with no data files) — both
-    # would otherwise raise PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA.
-    try:
-        out = tableio.read_table(spark, out_dir)
-        out.schema  # force schema inference now, inside the guard
-        return out
-    except Exception:
+    # would otherwise raise PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA. The
+    # guard is scoped to exactly that no-output-yet condition: any OTHER
+    # read failure after committed groups (corrupt footer, FS error,
+    # catalog misconfig) must propagate, not masquerade as a clean empty
+    # run with all buckets marked done.
+    import os
+
+    def _has_data_files(d: str) -> bool:
+        for root, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    # only local paths get the filesystem probe; object-store URIs go
+    # straight to the (Iceberg/remote) reader, where an empty TABLE reads
+    # as zero rows rather than failing
+    if "://" not in out_dir and (
+        not os.path.isdir(out_dir) or not _has_data_files(out_dir)
+    ):
         from .schema import EXTRACTED_MERGED
 
         empty = T.StructType(
@@ -160,6 +173,7 @@ def extract_resumable(
             + [T.StructField("bucket", T.IntegerType(), True)]
         )
         return spark.createDataFrame([], empty)
+    return tableio.read_table(spark, out_dir)
 
 
 def _run_groups(

@@ -92,8 +92,13 @@ def stream_dedup_exact(
         ]
     )
     src = spark.readStream.schema(schema).parquet(input_dir)
+    # NULL text and empty text are distinct contents: prefix real values
+    # so md5('t:') (empty string) never collides with the NULL marker
+    content_key = F.coalesce(
+        F.concat(F.lit("t:"), F.col("text")), F.lit("null:")
+    )
     deduped = (
-        src.withColumn("content_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        src.withColumn("content_hash", F.md5(content_key))
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])

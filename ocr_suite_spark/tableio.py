@@ -49,15 +49,19 @@ def _require_iceberg(spark: SparkSession) -> None:
 def _ident(path: str) -> str:
     """Map a storage path to an Iceberg table identifier.
 
-    The WHOLE path is encoded (sanitized), not just the basename: distinct
-    directories like run1/out and run2/out must map to distinct tables, or
-    two runs would silently share (and overwrite) one table."""
+    The WHOLE path is encoded (sanitized) plus a short hash of the RAW
+    path: sanitization alone collapses 'run-1' and 'run_1' onto one name,
+    which would let two runs silently share (and overwrite) one table —
+    the hash suffix makes the mapping injective while keeping the
+    identifier readable."""
     if "://" not in path and "/" not in path:
         return f"{ICEBERG_CATALOG}.{path}"
+    import hashlib
     import re
 
     tail = re.sub(r"[^A-Za-z0-9_]+", "_", path.strip("/")).strip("_")
-    return f"{ICEBERG_CATALOG}.db.t_{tail}"
+    h = hashlib.md5(path.rstrip("/").encode()).hexdigest()[:8]
+    return f"{ICEBERG_CATALOG}.db.t_{tail}_{h}"
 
 
 def write_table(

@@ -24,12 +24,24 @@ def test_curate_funnel(spark, sf_dir, out_dir):
 
     # the funnel only ever shrinks, and every stage actually fires on this
     # corpus (thresholds are tuned to be non-trivial at test SF)
-    order = ["input", "after_dedup", "after_decontaminate", "after_quality", "after_mixture"]
+    order = [
+        "input", "after_dedup", "after_holdout", "after_decontaminate",
+        "after_quality", "after_mixture",
+    ]
     counts = [stages[k] for k in order]
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] > 0
     for a, b in zip(counts, counts[1:]):
         assert b < a, f"stage did not filter anything: {stages}"
+
+    # the held-out eval slice must never appear in the training output
+    from pyspark.sql import functions as F
+
+    from ocr_suite_spark.queries.curation import EVAL_THRESHOLD
+    from ocr_suite_spark.queries.sampling import _hash_key
+
+    leaked = survivors.where(_hash_key(F.col("doc_id")) < EVAL_THRESHOLD).count()
+    assert leaked == 0
 
     # packing covers exactly the survivors
     n_packed_docs = sum(r["n_docs"] for r in packed.collect())

@@ -61,7 +61,6 @@ def test_extract_job_sigterm_graceful_then_resume(d):
     summary = json.loads([line for line in out.splitlines() if line.startswith("{")][-1])
     assert 1 <= summary["buckets_done"] <= 16
 
-    interrupted_done = summary["buckets_done"]
     out2 = subprocess.run(
         args, env=_env(), cwd=d, capture_output=True, text=True, timeout=600,
     )
@@ -71,9 +70,18 @@ def test_extract_job_sigterm_graceful_then_resume(d):
     )
     assert summary2["docs"] == 500
     assert summary2["buckets_done"] == 16
-    # committed groups were not redone: if the first run was interrupted
-    # partway, the resume only added the missing buckets
-    assert summary2["buckets_done"] - interrupted_done <= 16 - interrupted_done
+    # committed groups were not redone: every bucket has exactly ONE done
+    # row in the progress table — a resume that recomputed the first run's
+    # buckets would have appended a second row for them
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT bucket, COUNT(*) AS n FROM read_parquet('{d}/ckpt/progress/*.parquet')"
+        " WHERE status = 'done' GROUP BY bucket"
+    ).fetchall()
+    assert len(rows) == 16
+    redone = [b for b, n in rows if n != 1]
+    assert redone == [], f"buckets re-committed on resume: {redone}"
 
 
 def test_curate_job_cli(d):

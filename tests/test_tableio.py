@@ -53,3 +53,13 @@ def test_iceberg_ident_unique_per_path():
     import re
 
     assert re.fullmatch(r"[A-Za-z0-9_.]+", a), a
+
+
+def test_iceberg_ident_injective_under_sanitization():
+    """Sanitizing alone collapses run-1 / run_1 / run.1 — the hash suffix
+    must keep distinct raw paths on distinct tables."""
+    idents = {
+        tableio._ident(p)
+        for p in ("/data/run-1/out", "/data/run_1/out", "/data/run.1/out")
+    }
+    assert len(idents) == 3, idents
