@@ -162,9 +162,53 @@ WHERE r.rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
 """
 
 
+SHUFFLE_EPOCH = 1  # varying the epoch re-derives a fresh permutation
+
+
+def epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document a reproducible
+    (shard, position) for training-order randomization WITHOUT
+    `orderBy(rand())` (seed-and-partitioning dependent, irreproducible
+    across runs/engines/cluster sizes). The permutation is a pure
+    function of (epoch, doc_id): sort key = md5('epoch<N>|' + doc_id),
+    shard = its first hex char, position = rank within shard.
+
+    Scale: the only window partitions per shard (n/16 rows here; at
+    10^12 docs widen the shard prefix — 4 hex chars = 65536 shards —
+    and the same construction holds; a training loader consumes shards
+    independently anyway, so a global position is never needed).
+    """
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf, "documents")
+    key = F.md5(
+        F.concat(F.lit(f"epoch{SHUFFLE_EPOCH}|"), F.col("doc_id").cast("string"))
+    )
+    sel = docs.select("doc_id", key.alias("key")).withColumn(
+        "shard", F.substring("key", 1, 1)
+    )
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return sel.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).select("doc_id", "shard", "pos")
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, md5('epoch{SHUFFLE_EPOCH}|' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+)
+SELECT doc_id, substr(key, 1, 1) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY substr(key, 1, 1)
+                               ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
+
+
 QUERIES = {
     "sample_hash_fraction": (sample_hash_fraction, SAMPLE_HASH_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRAT_SQL),
     "nchars_quantiles": (nchars_quantiles, NCHARS_QUANTILES_SQL),
     "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
+    "epoch_shuffle": (epoch_shuffle, EPOCH_SHUFFLE_SQL),
 }
