@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import DUCK_TOKENS, floor3, t
 
 
 def _hash_key(doc_id: Column) -> Column:
@@ -205,10 +205,69 @@ FROM k
 """
 
 
+def source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source total-variation distance from the corpus token
+    distribution — the mixture diagnostic that tells you which sources
+    are distributionally unusual before weighting them
+    (TVD = 0.5·Σ_t |p_s(t) − q(t)|; chosen over KL because it needs no
+    log, so it is exactly computable cross-engine).
+
+    Tokens absent from a source still contribute their corpus mass q(t);
+    rather than outer-joining the vocabulary per source, that tail is
+    folded in algebraically: TVD = 0.5·(Σ_{t∈S}|p−q| + 1 − Σ_{t∈S} q).
+
+    Per the repo's float convention, the per-token |p−q| terms are
+    summed as DECIMAL(38,18) (exact, order-independent — a naive double
+    SUM differs between engines' fold orders) and converted to double
+    once at the end, then floor3'd.
+
+    Scale: two token aggregations (per-source+token, per-token) and one
+    equi-join on the token — vocabulary-sized relations, never all-pairs.
+    """
+    docs = t(spark, sf, "documents")
+    from .common import tokens_col
+
+    tok = docs.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    n_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    ct = tok.groupBy("tok").agg(F.count("*").alias("c_t"))
+    n = tok.count()  # scalar total (one job; a literal in the expression)
+    j = st.join(n_s, "source").join(ct, "tok")
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.lit(float(n))
+    agg = j.groupBy("source").agg(
+        F.sum(F.abs(p - q).cast("decimal(38,18)")).cast("double").alias("sum_abs"),
+        F.sum(q.cast("decimal(38,18)")).cast("double").alias("sum_q"),
+    )
+    return agg.select(
+        "source",
+        floor3((F.col("sum_abs") + 1.0 - F.col("sum_q")) * 0.5).alias("tvd3"),
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents
+),
+st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY source, tok),
+ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+ct AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM tok)
+SELECT st.source,
+       FLOOR((CAST(SUM(CAST(ABS(st.c_st / ns.n_s - ct.c_t / CAST(n.n AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+              + 1.0
+              - CAST(SUM(CAST(ct.c_t / CAST(n.n AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) * 0.5 * 1000) / 1000
+       AS tvd3
+FROM st JOIN ns ON st.source = ns.source JOIN ct ON st.tok = ct.tok, n
+GROUP BY st.source
+"""
+
+
 QUERIES = {
     "sample_hash_fraction": (sample_hash_fraction, SAMPLE_HASH_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRAT_SQL),
     "nchars_quantiles": (nchars_quantiles, NCHARS_QUANTILES_SQL),
     "sample_mixture": (sample_mixture, SAMPLE_MIXTURE_SQL),
     "epoch_shuffle": (epoch_shuffle, EPOCH_SHUFFLE_SQL),
+    "source_divergence": (source_divergence, SOURCE_DIVERGENCE_SQL),
 }
