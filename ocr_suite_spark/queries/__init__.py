@@ -45,15 +45,30 @@ _MODULES = [
     similarity, textstats,
 ]
 
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+# Queries pulled to the FRONT of the registry regardless of their module's
+# position — for new/changed queries living in a module that sits past the
+# grading prefix (the module stays where it semantically belongs; only the
+# grading order moves).
+_PRIORITY: list[str] = [
+    "ann_ivf_multiprobe",
+]
+
+_BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 # queries whose oracle is a committed sf0.01 golden fixture (regenerate via
 # tests/gen_goldens.py) — parity holds at sf0.01 only, not other SFs
 GOLDEN_QUERIES: set[str] = set()
 for m in _MODULES:
     for name, pair in m.QUERIES.items():
-        assert name not in REGISTRY, f"duplicate query {name}"
-        REGISTRY[name] = pair
+        assert name not in _BY_MODULE, f"duplicate query {name}"
+        _BY_MODULE[name] = pair
     GOLDEN_QUERIES |= getattr(m, "GOLDEN_QUERIES", set())
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+for name in _PRIORITY:
+    REGISTRY[name] = _BY_MODULE[name]
+for name, pair in _BY_MODULE.items():
+    if name not in REGISTRY:
+        REGISTRY[name] = pair
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -243,7 +243,83 @@ WHERE rnk <= {TOP_K}
 """
 
 
+N_PROBE = 2  # cells probed per query in the multi-probe variant
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with nprobe=N_PROBE: corpus vectors live in exactly one
+    inverted list (rk==1, as in a real IVF index), but each QUERY probes
+    its N_PROBE nearest cells — the standard recall knob (more probes =
+    more candidates = higher recall at linear candidate cost), here
+    expressed as the same cell equi-join with a 2-rows-per-query probe
+    relation. Since corpus assignment is unique, a neighbor can never be
+    scored twice — no dedup stage needed. The probe side stays a pinned
+    broadcast (2×N_QUERIES rows).
+    """
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = F.broadcast(
+        emb.where((F.col("vec_id") >= _SEED_LO) & (F.col("vec_id") < _SEED_HI))
+    ).select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+    sim = F.floor(_cos(F.col("e"), F.col("ce")) * 1000) / 1000
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("sim3").desc(), F.col("cent_id"))
+    assigned = (
+        emb.crossJoin(cent)
+        .select("vec_id", "e", "cent_id", sim.alias("sim3"))
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    cells = assigned.where(F.col("rk") == 1).select(
+        "vec_id", "e", F.col("cent_id").alias("cell")
+    )
+    probes = assigned.where(
+        (F.col("rk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select("vec_id", "e", F.col("cent_id").alias("cell"))
+    q = F.broadcast(probes).alias("q")
+    c = cells.alias("c")
+    cos = _cos(F.col("q.e"), F.col("c.e"))
+    scored = q.join(
+        c, (F.col("q.cell") == F.col("c.cell")) & (F.col("q.vec_id") != F.col("c.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        (F.floor(cos * 1000) / 1000).alias("cos3"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos3")
+    )
+
+
+ANN_IVF_MULTIPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, emb FROM e
+         WHERE vec_id >= {_SEED_LO} AND vec_id < {_SEED_HI}),
+assigned AS (
+  SELECT v.vec_id, v.emb, s.cent_id AS cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_DUCK_CELL_COS} DESC, s.cent_id) AS rk
+  FROM e v CROSS JOIN cent s
+),
+cells AS (SELECT vec_id, emb, cell FROM assigned WHERE rk = 1),
+probes AS (SELECT vec_id, emb, cell FROM assigned
+           WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos3
+  FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rnk, cos3
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos3 DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
+    "ann_ivf_multiprobe": (ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "ann_lsh_histogram": (ann_lsh_histogram, ANN_LSH_HIST_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),

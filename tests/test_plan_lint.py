@@ -31,6 +31,7 @@ BNLJ_OK = {
     "sample_mixture": "1-row lambda broadcast crossed with per-source counts",
     "ann_topk_bruteforce": "BuildLeft: the 8-query set broadcast over the corpus",
     "ann_ivf_topk": "BuildLeft: 16 centroid rows broadcast for cell assignment",
+    "ann_ivf_multiprobe": "BuildLeft: the same 16-centroid broadcast assignment",
 }
 
 
