@@ -55,3 +55,15 @@ def test_epoch_shuffle_is_a_permutation(spark, sf_dir):
         assert sorted(ps) == list(range(len(ps))), shard
     again = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_every_oracle_sql_parses():
+    """EXPLAIN every registered oracle in DuckDB — a syntax error in an
+    oracle should fail in milliseconds here, not at driver-grading time."""
+    from driver_sim import duck_con
+
+    from ocr_suite_spark.queries import REGISTRY
+
+    con = duck_con("/root/testdata/sf0.001")
+    for name, (_, sql) in REGISTRY.items():
+        con.execute(f"EXPLAIN {sql}")
