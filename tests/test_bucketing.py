@@ -130,3 +130,23 @@ def test_aqe_splits_skewed_join(spark):
     assert n == 182000
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """SCALE.md's scan-planning claim, demonstrated: a coarse-key
+    partitioned table (the ingest layout) prunes untouched partitions at
+    planning time — the filtered scan reads 1 of 8 date partitions
+    (PartitionFilters in the scan node), so a day-scoped job over a
+    10^12-doc corpus never opens the other days' files."""
+    d = str(tmp_path / "events_by_day")
+    df = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("2026-01-0"), ((F.col("id") % 8) + 1).cast("string")).alias("day"),
+        (F.col("id") % 97).alias("v"),
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(d)
+    got = spark.read.parquet(d).where(F.col("day") == "2026-01-03").select("event_id", "v")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:120]
+    # and only that day's rows come back
+    assert got.count() == 500
