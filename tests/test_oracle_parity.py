@@ -89,6 +89,9 @@ R02_PROVEN_FROZEN = {
     "p6_word_split_pos", "p7_coord_normalize", "p8_confidence_scale",
     "p10_filename_ts", "j4_point_lookup", "a8_progress_pct",
     "p23_normalize", "p9_frame_time", "p12_date_format",
+    # pushed past 50 when pdf_layout_parse entered the prefix; body
+    # unchanged since a42e6eb (r2 verdict) — r02 row stands
+    "o3_top1_per_group",
 }
 
 
