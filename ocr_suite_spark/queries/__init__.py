@@ -53,6 +53,14 @@ _PRIORITY: list[str] = [
     "ann_ivf_multiprobe",
 ]
 
+# Queries pushed to the BACK of the registry (past the 50-entry grading
+# prefix) to make room for new-this-round queries. Only r02-proven-frozen
+# queries may appear here — test_grading_prefix_covers_unproven_queries
+# enforces that anything past the prefix is on R02_PROVEN_FROZEN.
+_DEMOTE: list[str] = [
+    "p6_word_split_pos",
+]
+
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 # queries whose oracle is a committed sf0.01 golden fixture (regenerate via
 # tests/gen_goldens.py) — parity holds at sf0.01 only, not other SFs
@@ -67,8 +75,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 for name in _PRIORITY:
     REGISTRY[name] = _BY_MODULE[name]
 for name, pair in _BY_MODULE.items():
-    if name not in REGISTRY:
+    if name not in REGISTRY and name not in _DEMOTE:
         REGISTRY[name] = pair
+for name in _DEMOTE:
+    REGISTRY[name] = _BY_MODULE[name]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

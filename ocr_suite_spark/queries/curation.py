@@ -255,8 +255,114 @@ FROM uni u LEFT JOIN bg b ON u.doc_id = b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every public training-data pipeline
+# runs before release (C4 strips lines by badword list; Dolma/BigScience
+# mask emails / phone numbers / IP addresses by regex — the public recipe
+# implemented here). The corpus text is synthetic words, so PII instances
+# are INJECTED deterministically from md5(CAST(doc_id AS VARCHAR)) identically in both
+# engines (presence ~75% email / 50% phone / 25% IP, values hash-derived);
+# the oracle grades the SCRUB (match counts + redacted text), not the
+# injection. Patterns use only the Java∩RE2-portable subset: ASCII
+# classes, \d, \b, bounded repetition — no lookaround, no \s (dialect
+# drift, see webextract._WS).
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _dig(h, i: int):
+    """One decimal digit derived from hex char i of the md5 — ascii()%10
+    works identically in Spark and DuckDB."""
+    return (F.ascii(F.substring(h, i, 1)) % 10).cast("string")
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Redact emails / US phone numbers / IPv4 addresses from document
+    text, reporting per-category match counts and the scrubbed text.
+
+    Scale: a pure row-local map — no join, no groupBy, no window, no UDF;
+    at 10^12 docs this pipelines inside the scan with zero shuffle, which
+    is exactly what a redaction pass must be."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    email = F.when(
+        F.substring(h, 9, 1) < "c",
+        F.concat(F.substring(h, 1, 8), F.lit("@example.com")),
+    )
+    phone = F.when(
+        F.substring(h, 17, 1) < "8",
+        F.concat(
+            F.lit("555-"), _dig(h, 10), _dig(h, 11), _dig(h, 12),
+            F.lit("-"), _dig(h, 13), _dig(h, 14), _dig(h, 15), _dig(h, 16),
+        ),
+    )
+    ip = F.when(
+        F.substring(h, 21, 1) < "4",
+        F.concat(
+            F.lit("10."), _dig(h, 18), F.lit("."), _dig(h, 19),
+            F.lit("."), _dig(h, 20),
+        ),
+    )
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), email, phone, ip).alias("pii_text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _IP_RE, "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("pii_text", F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
+PII_SCRUB_SQL = """
+WITH pii AS (
+  SELECT doc_id,
+    concat_ws(' ', text,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 9, 1) < 'c'
+           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '@example.com' END,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 17, 1) < '8'
+           THEN '555-'
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 10, 1)) % 10 AS VARCHAR)
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 11, 1)) % 10 AS VARCHAR)
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 12, 1)) % 10 AS VARCHAR)
+                || '-'
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) % 10 AS VARCHAR)
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 14, 1)) % 10 AS VARCHAR)
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 15, 1)) % 10 AS VARCHAR)
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 16, 1)) % 10 AS VARCHAR) END,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 21, 1) < '4'
+           THEN '10.'
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 18, 1)) % 10 AS VARCHAR) || '.'
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 19, 1)) % 10 AS VARCHAR) || '.'
+                || CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 20, 1)) % 10 AS VARCHAR) END
+    ) AS pii_text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(pii_text, '{EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(pii_text, '{PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(pii_text, '{IP}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(pii_text,
+    '{EMAIL}', '<EMAIL>', 'g'),
+    '{PHONE}', '<PHONE>', 'g'),
+    '{IP}', '<IP>', 'g') AS text_scrubbed
+FROM pii
+""".replace("{EMAIL}", _EMAIL_RE).replace("{PHONE}", _PHONE_RE).replace("{IP}", _IP_RE)
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
 }
