@@ -51,6 +51,7 @@ _MODULES = [
 # grading order moves).
 _PRIORITY: list[str] = [
     "ann_ivf_multiprobe",
+    "lm_unigram_score",
 ]
 
 # Queries pushed to the BACK of the registry (past the 50-entry grading
@@ -59,6 +60,7 @@ _PRIORITY: list[str] = [
 # enforces that anything past the prefix is on R02_PROVEN_FROZEN.
 _DEMOTE: list[str] = [
     "p6_word_split_pos",
+    "p7_coord_normalize",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import DUCK_TOKENS, t, tokens_col
+from .common import DUCK_TOKENS, floor3, t, tokens_col
 from .dedup import DUCK_SHINGLES
 
 STOPWORDS = {
@@ -192,9 +192,74 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filter (CCNet family, Wenzek et al. 2020 — public):
+# score each document by its likelihood under a language model trained on
+# the corpus itself, keep the head of the distribution. The production
+# recipe uses a KenLM 5-gram; the relational stand-in here is the unigram
+# LM (the n=1 member of the same family), whose training IS a token
+# aggregation — so both training and scoring stay inside the engine.
+#
+# Float convention: log10 is transcendental, so engines may differ by
+# 1 ulp per term and double-summation is fold-order-dependent. Each
+# per-token term is floored onto a 1e-6 grid FIRST (integer-valued after
+# scaling; a 1-ulp input wobble only matters in the ~1e-10 neighborhood
+# of a grid point), then summed exactly as DECIMAL(38,6), divided by the
+# token count, and floor3'd — the same exactness discipline as
+# sampling.source_divergence.
+
+def lm_unigram_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean log10 unigram probability under the corpus LM
+    (higher = more typical text; the CCNet-style quality signal).
+
+    Scale: one vocabulary aggregation (|V| rows), one equi-join of the
+    token stream against it on the token, one per-doc aggregation — the
+    same vocabulary-relation shape as source_divergence; never all-pairs,
+    no window. At 10^12 docs the vocab join shuffles on the token (or
+    broadcasts a pruned top-|V| vocab with an OOV floor)."""
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c_t"))
+    n = tok.count()  # scalar corpus size (one job; a literal below)
+    term = F.floor(F.log10(F.col("c_t") / F.lit(float(n))) * 1e6) / 1e6
+    per_doc = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(term.cast("decimal(38,6)")).cast("double").alias("sum_lp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        floor3(F.col("sum_lp") / F.col("n_tok")).alias("lm_score3"),
+    )
+
+
+LM_UNIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM tok),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tok,
+         CAST(SUM(CAST(FLOOR(log10(v.c_t / CAST(n.n AS DOUBLE)) * 1e6) / 1e6
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sum_lp
+  FROM tok t JOIN vocab v ON t.tok = v.tok, n
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       FLOOR(sum_lp / n_tok * 1000) / 1000 AS lm_score3
+FROM per_doc
+"""
+
+
 QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
+    "lm_unigram_score": (lm_unigram_score, LM_UNIGRAM_SQL),
 }
