@@ -52,6 +52,7 @@ _MODULES = [
 _PRIORITY: list[str] = [
     "ann_ivf_multiprobe",
     "lm_unigram_score",
+    "tfidf_top_terms",
 ]
 
 # Queries pushed to the BACK of the registry (past the 50-entry grading
@@ -61,6 +62,8 @@ _PRIORITY: list[str] = [
 _DEMOTE: list[str] = [
     "p6_word_split_pos",
     "p7_coord_normalize",
+    "p8_confidence_scale",
+    "p10_filename_ts",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

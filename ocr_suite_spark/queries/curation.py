@@ -360,9 +360,75 @@ FROM pii
 """.replace("{EMAIL}", _EMAIL_RE).replace("{PHONE}", _PHONE_RE).replace("{IP}", _IP_RE)
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking — the complement of pack_sequences: packing bins
+# short documents together, chunking SPLITS long documents into overlapping
+# fixed-size token windows (the sliding-window preprocessing every
+# fixed-context trainer applies to over-length documents; stride < width
+# gives the standard overlap so no span is seen only at a window edge).
+
+CHUNK_W = 32  # window width (tokens)
+CHUNK_S = 24  # stride (tokens); W - S = 8 tokens of overlap
+
+
+def chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Split each document's token sequence into CHUNK_W-token windows at
+    stride CHUNK_S; emit (doc_id, win_id, n_win_tok, win_text).
+
+    Scale: pure row-local — explode of a per-doc sequence, array slices,
+    no shuffle, no join, no window function; chunking 10^12 docs is a map.
+    Window count is ceil((n - W) / S) + 1 in INTEGER arithmetic (floats
+    would drift cross-engine); docs shorter than W yield one window; docs
+    with zero tokens yield none."""
+    docs = t(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    n_win = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_W + CHUNK_S - 1) / CHUNK_S).cast("long") + 1
+    )
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("win_id"),
+    ).where(F.size("toks") > 0)
+    win = F.slice(
+        F.col("toks"), (F.col("win_id") * CHUNK_S + 1).cast("int"), CHUNK_W
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("win_id").cast("long").alias("win_id"),
+        F.size(win).cast("long").alias("n_win_tok"),
+        F.array_join(win, " ").alias("win_text"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS ws FROM documents
+),
+sized AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) <= {CHUNK_W} THEN 1
+              ELSE CAST(FLOOR((len(ws) - {CHUNK_W} + {CHUNK_S} - 1) / {CHUNK_S}) AS BIGINT) + 1
+         END AS n_win
+  FROM toks WHERE len(ws) > 0
+),
+w AS (
+  SELECT doc_id, ws,
+         CAST(unnest(generate_series(0, n_win - 1)) AS BIGINT) AS win_id
+  FROM sized
+)
+SELECT doc_id, win_id,
+       CAST(len(list_slice(ws, win_id * {CHUNK_S} + 1, win_id * {CHUNK_S} + {CHUNK_W})) AS BIGINT) AS n_win_tok,
+       array_to_string(list_slice(ws, win_id * {CHUNK_S} + 1, win_id * {CHUNK_S} + {CHUNK_W}), ' ') AS win_text
+FROM w
+"""
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "chunk_windows": (chunk_windows, CHUNK_SQL),
 }

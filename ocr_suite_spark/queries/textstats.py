@@ -256,10 +256,71 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — top-K characteristic terms per document.
+# Ranking key is tf/df, a strictly monotone transform of tf·idf for any
+# positive idf (idf = log(N/df) is monotone decreasing in df, and so is
+# 1/df) — the TOP-K SELECTION is identical to log-idf while every
+# comparison stays an exact IEEE division of two integers, so no
+# transcendental cross-engine drift can flip a rank. Ties break on the
+# term itself for full determinism.
+
+TFIDF_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K terms per document by df-normalized term frequency
+    (log-free tf-idf ranking; see module comment for the equivalence).
+
+    Scale: term-frequency and document-frequency are vocabulary-shaped
+    aggregations, joined on the token; the only window partitions by
+    doc_id (bounded by per-doc vocabulary). Never all-pairs, nothing
+    corpus-wide in one task."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("trank", F.row_number().over(w).cast("long"))
+        .where(F.col("trank") <= TFIDF_K)
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "trank",
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf / df.df DESC, tf.term) AS trank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(trank AS BIGINT) AS trank
+FROM r WHERE trank <= {TFIDF_K}
+"""
+
+
 QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
     "lm_unigram_score": (lm_unigram_score, LM_UNIGRAM_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
 }
