@@ -1,0 +1,98 @@
+"""Python-oracle invariant tests for the late-r3 pipeline operators:
+chunk_windows (tiling/overlap), tfidf_top_terms (rank equivalence), and
+lm_unigram_score (score recomputation) — the third engine beside Spark
+and DuckDB, same rationale as test_webextract_ops.py.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text) if len(w) >= 3]
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(spark):
+    pdf = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").toPandas()
+    return {r["doc_id"]: _tokens(r["text"]) for _, r in pdf.iterrows()}
+
+
+def test_chunk_windows_tile_the_token_sequence(spark, docs_tokens):
+    from ocr_suite_spark.queries.curation import CHUNK_S, CHUNK_W, chunk_windows
+
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in chunk_windows(spark, SF).collect():
+        by_doc.setdefault(r["doc_id"], {})[r["win_id"]] = r["win_text"]
+
+    long_docs = 0
+    for doc_id, toks in docs_tokens.items():
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        wins = by_doc[doc_id]
+        n = len(toks)
+        expect_n = 1 if n <= CHUNK_W else (n - CHUNK_W + CHUNK_S - 1) // CHUNK_S + 1
+        assert set(wins) == set(range(expect_n))
+        for i in range(expect_n):
+            assert wins[i] == " ".join(toks[i * CHUNK_S:i * CHUNK_S + CHUNK_W])
+        # every token position is covered by some window
+        assert (expect_n - 1) * CHUNK_S + CHUNK_W >= n
+        if expect_n > 1:
+            long_docs += 1
+    assert long_docs > 50  # the corpus must exercise the multi-window branch
+
+
+def test_tfidf_ranks_match_python_oracle(spark, docs_tokens):
+    from ocr_suite_spark.queries.textstats import TFIDF_K, tfidf_top_terms
+
+    df_counts: Counter = Counter()
+    tf_by_doc = {}
+    for doc_id, toks in docs_tokens.items():
+        tf = Counter(toks)
+        tf_by_doc[doc_id] = tf
+        df_counts.update(tf.keys())
+
+    got: dict[int, list] = {}
+    for r in tfidf_top_terms(spark, SF).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+
+    for doc_id, rows in got.items():
+        rows.sort(key=lambda r: r["trank"])
+        tf = tf_by_doc[doc_id]
+        expect = sorted(tf, key=lambda t: (-tf[t] / df_counts[t], t))[:TFIDF_K]
+        assert [r["term"] for r in rows] == expect
+        for r in rows:
+            assert r["tf"] == tf[r["term"]] and r["df"] == df_counts[r["term"]]
+    assert len(got) > 400
+
+
+def test_lm_unigram_score_matches_python_oracle(spark, docs_tokens):
+    from ocr_suite_spark.queries.textstats import lm_unigram_score
+
+    vocab: Counter = Counter()
+    for toks in docs_tokens.values():
+        vocab.update(toks)
+    total = sum(vocab.values())
+
+    checked = 0
+    for r in lm_unigram_score(spark, SF).collect():
+        toks = docs_tokens[r["doc_id"]]
+        assert r["n_tok"] == len(toks)
+        s = sum(
+            math.floor(math.log10(vocab[t] / total) * 1e6) / 1e6 for t in toks
+        )
+        expect = math.floor(s / len(toks) * 1000) / 1000
+        # 1-ulp transcendental wobble can at worst move one 1e-6-grid term
+        assert abs(r["lm_score3"] - expect) <= 1e-3 + 1e-9
+        # scores are negative log-probs of a <=n-token corpus: sanity band
+        assert -10.0 < r["lm_score3"] < 0.0
+        checked += 1
+    assert checked > 400
