@@ -114,10 +114,23 @@ def curate(
     mixed = sample_mixture(spark, sf).select("doc_id")
     survivors = _stage(survivors.join(mixed, "doc_id", "left_semi"), "after_mixture")
 
-    # 6. pack the surviving corpus into training-sequence bins
-    packed = pack_bins(
-        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
-    ).localCheckpoint(eager=True)
+    # 6. PII redaction over the survivors — a transform, not a filter:
+    # the survivor set is unchanged, the released text is the scrubbed
+    # form (row-local map; adds zero shuffle to the funnel). The count
+    # recorded is how many surviving docs carried any redaction.
+    from .queries.curation import scrub_match_count, scrub_text
+
+    released = docs.join(survivors.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        scrub_text(F.col("text")).alias("text"),
+        F.col("n_chars"),
+        scrub_match_count(F.col("text")).alias("n_redactions"),
+    )
+    stages["redacted_docs"] = released.where(F.col("n_redactions") > 0).count()
+
+    # 7. pack the surviving corpus into training-sequence bins
+    packed = pack_bins(released).localCheckpoint(eager=True)
     stages["packed_bins"] = packed.count()
 
     if out_dir:

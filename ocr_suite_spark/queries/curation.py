@@ -278,6 +278,28 @@ def _dig(h, i: int):
     return (F.ascii(F.substring(h, i, 1)) % 10).cast("string")
 
 
+def scrub_text(col):
+    """The redaction expression: col with every email/phone/IP replaced by
+    its category token. Shared by the graded pii_scrub query and the
+    curate funnel's redaction stage."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _IP_RE, "<IP>",
+    )
+
+
+def scrub_match_count(col):
+    """Total email+phone+IP matches in col (the per-row redaction count)."""
+    return (
+        F.regexp_count(col, F.lit(_EMAIL_RE))
+        + F.regexp_count(col, F.lit(_PHONE_RE))
+        + F.regexp_count(col, F.lit(_IP_RE))
+    ).cast("long")
+
+
 def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """Redact emails / US phone numbers / IPv4 addresses from document
     text, reporting per-category match counts and the scrubbed text.
@@ -308,13 +330,7 @@ def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.concat_ws(" ", F.col("text"), email, phone, ip).alias("pii_text"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE, "<PHONE>",
-        ),
-        _IP_RE, "<IP>",
-    )
+    scrubbed = scrub_text(F.col("pii_text"))
     return docs.select(
         "doc_id",
         F.regexp_count("pii_text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
