@@ -26,6 +26,7 @@ from . import (
     sampling,
     scalars,
     similarity,
+    temporal,
     textstats,
     webextract,
 )
@@ -40,7 +41,7 @@ from . import (
 # form so their prior round's green row remains their proof (COVERAGE.md
 # records which round each query was last driver-graded).
 _MODULES = [
-    extraction, multimodal, sampling, curation, webextract,
+    extraction, multimodal, sampling, curation, webextract, temporal,
     dedup, scalars, relational,
     similarity, textstats,
 ]
@@ -64,6 +65,12 @@ _DEMOTE: list[str] = [
     "p7_coord_normalize",
     "p8_confidence_scale",
     "p10_filename_ts",
+    # demoted late-r3 to admit the temporal module into the prefix; bodies
+    # unchanged since a42e6eb (r2 verdict) so their r02 rows stand
+    "w3_running_max",
+    "w4_lead_lag",
+    "a5_group_collect_ordered",
+    "a6_match_count",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -92,6 +92,11 @@ R02_PROVEN_FROZEN = {
     # pushed past 50 when pdf_layout_parse entered the prefix; body
     # unchanged since a42e6eb (r2 verdict) — r02 row stands
     "o3_top1_per_group",
+    # pushed past 50 when the temporal module entered the prefix; bodies
+    # unchanged since a42e6eb (relational.py diff touches only o1) —
+    # r02 rows stand
+    "w3_running_max", "w4_lead_lag",
+    "a5_group_collect_ordered", "a6_match_count",
 }
 
 
