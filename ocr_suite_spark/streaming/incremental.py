@@ -151,3 +151,66 @@ def stream_rate_meter(spark: SparkSession, events_dir: str, window: str = "5 sec
     return spark.sql(
         f"SELECT win.start AS win_start, event_type, n FROM {name}"
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap: str = "86400 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming gap-sessionization — the ingest-time counterpart of the
+    batch `sessionize_gap` query, built on Spark's native
+    `session_window` aggregate.
+
+    Spark-native statefulness: one state row per OPEN session per user;
+    a session closes (and its row is emitted + evicted) once the
+    event-time watermark passes session_end + gap. Bounded state on an
+    unbounded stream — the batch window formulation needs the whole
+    history, this needs only the open sessions. Append mode therefore
+    emits exactly the CLOSED sessions; the trailing still-open session
+    per user stays in state (tested against the batch oracle).
+
+    Output columns mirror sessionize_gap minus the per-user ordinal
+    (a global ordinal is unknowable mid-stream): user_id, n_events,
+    start_us (first event), end_us (last event), duration_us.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_dir).schema
+    # the streaming file source needs a directory; accept a single file via
+    # its parent dir + a glob filter (same seam as stream_rate_meter)
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet") and not os.path.isdir(events_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    ev = reader.parquet(events_dir)
+    # parquet ts is TIMESTAMP_NTZ; event-time semantics require TIMESTAMP
+    # (UTC session tz -> no wall-clock shift, session.py:61)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+    name = "stream_sessionize_out"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, n_events, start_us, end_us, duration_us FROM {name}"
+    )

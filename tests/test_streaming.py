@@ -129,3 +129,34 @@ def test_stateful_watermark_accumulates_across_restarts(spark, dirs):
     assert second["d1"] == (6, 3)
     assert second["d2"] == (2, 2)
     assert second["d3"] == (10, 1)
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, dirs):
+    """Streaming session_window vs the batch sessionize_gap oracle: every
+    emitted (closed) session must match a batch session exactly on
+    (user_id, start, end, n_events), and the only batch sessions NOT
+    emitted are ones the final watermark could not close — each user's
+    trailing session, plus any whose close point (end + gap) lies past
+    max(ts) - delay."""
+    from ocr_suite_spark.queries.temporal import SESSION_GAP_US, sessionize_gap
+    from ocr_suite_spark.streaming.incremental import stream_sessionize
+
+    _, _, ckpt = dirs
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in stream_sessionize(spark, f"{sf}/events.parquet", ckpt).collect()
+    }
+    batch = sessionize_gap(spark, sf).collect()
+    want_all = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"]) for r in batch
+    }
+    assert got <= want_all, got - want_all
+    max_us = max(r["end_us"] for r in batch)
+    delay_us = 60 * 1_000_000  # the 1-minute default watermark
+    closeable = {
+        k for k in want_all if k[2] + SESSION_GAP_US < max_us - delay_us
+    }
+    # append mode must have emitted every closeable session
+    assert closeable <= got, closeable - got
+    assert len(got) > 0
