@@ -318,8 +318,73 @@ WHERE rnk <= {TOP_K}
 """
 
 
+KNN_BITS = 4  # coarser blocking than the 8-bit query LSH: every vector
+# needs in-bucket company, not just the 8 query points (~n/16 per bucket)
+KNN_K = 3
+
+
+def knn_self_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style self-KNN: the top-K most similar corpus vectors for
+    EVERY vector (not just the external query set) — the all-pairs
+    similarity graph behind semantic dedup and clustering pipelines.
+
+    Scale shape: the all-pairs cross join (n² at 10^12 = never) becomes a
+    bucket equi-join on the KNN_BITS sign-bucket — the same blocked-scoring
+    discipline as `dedup_embedding_cosine`, but emitting ranked neighbors
+    instead of thresholded pairs. Within-bucket population bounds the
+    quadratic term by occupancy; the per-vector top-K window partitions on
+    vec_id (bucket-sized partitions, never corpus-sized). Vectors alone in
+    their bucket have no candidates and are absent from the output — the
+    standard ANN recall trade, surfaced rather than hidden.
+    """
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _bucket_col(F.col("embedding"), KNN_BITS).alias("bucket"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _cos(F.col("a.e"), F.col("b.e"))
+    scored = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        (F.floor(cos * 1000) / 1000).alias("cos3"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= KNN_K)
+        .select("vec_id", "neighbor_id", "rnk", "cos3")
+    )
+
+
+_DUCK_KNN_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(KNN_BITS)
+)
+
+KNN_SELF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         CAST({_DUCK_KNN_BUCKET} AS BIGINT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos3
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT vec_id, neighbor_id, rnk, cos3
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cos3 DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+WHERE rnk <= {KNN_K}
+"""
+
+
 QUERIES = {
     "ann_ivf_multiprobe": (ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),
+    "knn_self_join": (knn_self_join, KNN_SELF_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "ann_lsh_histogram": (ann_lsh_histogram, ANN_LSH_HIST_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),

@@ -316,8 +316,113 @@ FROM r WHERE trank <= {TFIDF_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked search — the ranked upgrade of the reference's LIKE search
+# (S11, viewer/search.cpp): instead of "does the text contain X", score
+# every matching document with Okapi BM25 (Lucene's +1-inside-log idf
+# variant, always positive even for df > N/2 — every term in this tiny
+# synthetic vocabulary is high-df) and return the top SEARCH_K.
+#
+# Float discipline (module convention): idf is floored onto a 1e-6 grid,
+# each per-(doc,term) contribution is floored onto a 1e-6 grid, the sum
+# runs as DECIMAL(38,6) (exact), and the final score is floor3'd. All
+# remaining float ops are single correctly-rounded IEEE expressions
+# written with the SAME literal arithmetic on both engines.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("sort", "stream", "dup")  # two common terms + one rare
+SEARCH_K = 20
+
+
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-SEARCH_K documents for a keyword query under BM25.
+
+    Scale: tf is a (doc, term) aggregation FILTERED to the query terms
+    before any shuffle (the stream shrinks to matching tokens at the
+    scan); df is |query|-sized; dl is a per-doc count the corpus already
+    shuffles for. The only global step is the final top-K — a distributed
+    TakeOrdered (w1 pattern), never a full sort. The two driver-side
+    scalars (N, avgdl) are single-row aggregates, same as lm's corpus n.
+    """
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    n_docs = docs.count()
+    avgdl = tok.count() / n_docs
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok.where(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf6 = (
+        F.floor(
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * 1e6
+        )
+        / 1e6
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf6 * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum((F.floor(contrib * 1e6) / 1e6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    top = (
+        scored.select("doc_id", "n_terms", floor3(F.col("s")).alias("score3"))
+        .orderBy(F.col("score3").desc(), "doc_id")
+        .limit(SEARCH_K)
+    )
+    w = W.orderBy(F.col("score3").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{q}'" for q in BM25_QUERY)
+
+BM25_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+nt AS (SELECT COUNT(*) AS n_tok FROM tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(FLOOR(
+           (FLOOR(ln((CAST(nd.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * 1e6) / 1e6)
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl
+              / (CAST(nt.n_tok AS DOUBLE) / nd.n_docs)))
+         * 1e6) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), nd, nt
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, score3, rnk FROM (
+  SELECT doc_id, n_terms, FLOOR(s * 1000) / 1000 AS score3,
+         CAST(ROW_NUMBER() OVER (ORDER BY FLOOR(s * 1000) / 1000 DESC, doc_id)
+              AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {SEARCH_K}
+"""
+
+
 QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),

@@ -23,6 +23,7 @@ SINGLE_PARTITION_OK = {
     "q6_forecast_revenue": "single-row TPC-H aggregate",
     "nchars_quantiles": "per-lang exact percentiles (n_lang rows)",
     "w1_global_sort": "100-row exchange above TakeOrderedAndProject",
+    "bm25_search": "20-row exchange above TakeOrderedAndProject (w1 pattern)",
 }
 
 # Queries allowed a BroadcastNestedLoopJoin — all with a tiny pinned build
