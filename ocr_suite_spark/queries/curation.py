@@ -441,10 +441,118 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# C4-style heuristic cleaning (Raffel et al. 2020 §2.2, the public recipe):
+# keep only lines that end in terminal punctuation and have >= N words;
+# drop pages containing code braces or "lorem ipsum"; drop pages with too
+# few surviving lines. The synthetic corpus has no line structure or
+# punctuation, so — the pii_scrub pattern — line BOUNDARIES are fixed
+# 8-token windows and the line/page traits (terminal punct, brace, lorem)
+# are INJECTED deterministically from md5(doc_id[:line]) identically in
+# both engines; the oracle grades the RULES, not the injection. Line word
+# counts come from integer arithmetic on the token count (width 8 is a
+# power of two, so the floor-division is exact in both engines' doubles).
+
+C4_LINE_W = 8  # tokens per synthetic line
+C4_MIN_WORDS = 5  # C4: drop lines with fewer words
+C4_MIN_KEPT = 3  # C4: drop pages with fewer surviving lines
+
+
+def quality_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: line counts before/after the C4 line filters, the
+    page-level lorem flag, and the final keep decision.
+
+    Scale: one explode of a per-doc line range (bounded by doc length),
+    one groupBy(doc_id), one broadcast-shaped left join back to the
+    corpus keyed on doc_id — no window, nothing corpus-global."""
+    docs = t(spark, sf, "documents")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    base = docs.select("doc_id", n.alias("n_tok")).where(F.col("n_tok") > 0)
+    n_lines_c = (F.floor((F.col("n_tok") + C4_LINE_W - 1) / C4_LINE_W)).cast("long")
+    lines = base.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_lines_c - 1)).alias("line"),
+    )
+    n_words = F.least(F.lit(C4_LINE_W), F.col("n_tok") - F.col("line") * C4_LINE_W)
+    lh = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("line").cast("string"))
+    )
+    has_punct = F.substring(lh, 1, 1) < "b"  # 11/16 of lines end a sentence
+    has_brace = F.substring(lh, 2, 1) == "0"  # 1/16 carry a code brace
+    kept = (has_punct & ~has_brace & (n_words >= C4_MIN_WORDS)).cast("long")
+    per_doc = (
+        lines.select("doc_id", kept.alias("kept"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
+    has_lorem = (
+        F.substring(F.md5(F.concat(F.lit("c4:"), F.col("doc_id").cast("string"))), 1, 1)
+        == "0"
+    ).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            has_lorem.alias("has_lorem"),
+            (
+                (F.coalesce(F.col("n_kept"), F.lit(0)) >= C4_MIN_KEPT)
+                & (has_lorem == 0)
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+C4_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, len({DUCK_TOKENS}) AS n_tok FROM documents
+  WHERE len({DUCK_TOKENS}) > 0
+),
+lines AS (
+  SELECT doc_id, n_tok,
+         CAST(unnest(generate_series(0,
+              CAST(FLOOR((n_tok + {C4_LINE_W} - 1) / {C4_LINE_W}) AS BIGINT) - 1))
+           AS BIGINT) AS line
+  FROM base
+),
+flagged AS (
+  SELECT doc_id,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(line AS VARCHAR)), 1, 1) < 'b'
+          AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(line AS VARCHAR)), 2, 1) != '0'
+          AND least({C4_LINE_W}, n_tok - line * {C4_LINE_W}) >= {C4_MIN_WORDS}
+         THEN 1 ELSE 0 END AS kept
+  FROM lines
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(kept) AS BIGINT) AS n_kept
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_lines, 0) AS n_lines,
+  COALESCE(p.n_kept, 0) AS n_kept,
+  CAST(CASE WHEN substr(md5('c4:' || CAST(d.doc_id AS VARCHAR)), 1, 1) = '0'
+            THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+  CAST(CASE WHEN COALESCE(p.n_kept, 0) >= {C4_MIN_KEPT}
+             AND substr(md5('c4:' || CAST(d.doc_id AS VARCHAR)), 1, 1) != '0'
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "chunk_windows": (chunk_windows, CHUNK_SQL),
+    "quality_c4_rules": (quality_c4_rules, C4_RULES_SQL),
 }

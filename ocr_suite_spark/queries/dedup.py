@@ -609,8 +609,110 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — the first dedup every web-crawl pipeline
+# runs (CCNet / CommonCrawl practice): re-crawls of one page differ only
+# in scheme, www, trailing slash, tracking params, or fragment; normalize
+# the URL and keep one doc per canonical form. The corpus has no URL
+# column, so one is SYNTHESIZED deterministically (pii_scrub pattern) from
+# (source, doc_id % URL_PATHS) plus md5-chosen variant noise — both
+# engines build byte-identical URLs, so the oracle grades the
+# CANONICALIZATION + keeper choice, not the synthesis.
+
+# distinct paths per host. The path must be md5-derived, NOT doc_id % k:
+# source is src(doc_id % 20) in the testdata, so any modular path is
+# doc_id-aligned and the (source, path) space collapses to lcm cells —
+# either near-total dedup or none. Hash digits are independent of the
+# residue, giving a birthday-style ~30% duplicate rate at test SF.
+URL_PATHS = 30
+
+
+def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: its (synthetic) crawl URL, the canonical form, and
+    whether it is the kept representative (min doc_id per canonical URL).
+
+    Scale: canonicalization is a row-local regexp chain (zero shuffle);
+    the dedup itself is ONE shuffle on the canonical URL — the cheapest
+    possible dedup key, which is why real pipelines run it before any
+    content hashing."""
+    docs = t(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+    scheme = F.when(F.substring(h, 1, 1) < "8", F.lit("https")).otherwise(F.lit("http"))
+    www = F.when(F.substring(h, 2, 1) < "8", F.lit("www.")).otherwise(F.lit(""))
+    slash = F.when(F.substring(h, 3, 1) < "8", F.lit("/")).otherwise(F.lit(""))
+    utm = F.when(F.substring(h, 4, 1) < "4", F.lit("?utm_source=feed")).otherwise(
+        F.lit("")
+    )
+    frag = F.when(F.substring(h, 5, 1) < "4", F.lit("#top")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        www,
+        F.col("source"),
+        F.lit(".example/p"),
+        ((F.ascii(F.substring(h, 6, 1)) * 10 + F.ascii(F.substring(h, 7, 1)))
+         % URL_PATHS).cast("string"),
+        slash,
+        utm,
+        frag,
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(url, r"^https?://(www\.)?", ""), r"[?#].*$", ""
+        ),
+        r"/$",
+        "",
+    )
+    urls = docs.select("doc_id", url.alias("url"), canon.alias("canon_url"))
+    keep = urls.groupBy("canon_url").agg(F.min("doc_id").alias("keeper_id"))
+    return urls.join(keep, "canon_url").select(
+        "doc_id",
+        "url",
+        "canon_url",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).cast("long").alias("is_keeper"),
+    )
+
+
+# DuckDB regexp_replace substitutes the FIRST match by default — equivalent
+# here because all three patterns are anchored / single-match.
+DEDUP_URL_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+          THEN 'https' ELSE 'http' END)
+    || '://'
+    || (CASE WHEN substr(md5('url:' || CAST(doc_id AS VARCHAR)), 2, 1) < '8'
+             THEN 'www.' ELSE '' END)
+    || source || '.example/p'
+    || CAST((ascii(substr(md5('url:' || CAST(doc_id AS VARCHAR)), 6, 1)) * 10
+             + ascii(substr(md5('url:' || CAST(doc_id AS VARCHAR)), 7, 1)))
+            % {URL_PATHS} AS VARCHAR)
+    || (CASE WHEN substr(md5('url:' || CAST(doc_id AS VARCHAR)), 3, 1) < '8'
+             THEN '/' ELSE '' END)
+    || (CASE WHEN substr(md5('url:' || CAST(doc_id AS VARCHAR)), 4, 1) < '4'
+             THEN '?utm_source=feed' ELSE '' END)
+    || (CASE WHEN substr(md5('url:' || CAST(doc_id AS VARCHAR)), 5, 1) < '4'
+             THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '^https?://(www\\.)?', ''), '[?#].*$', ''), '/$', '') AS canon_url
+  FROM u
+),
+k AS (SELECT canon_url, MIN(doc_id) AS keeper_id FROM c GROUP BY canon_url)
+SELECT c.doc_id, c.url, c.canon_url, k.keeper_id,
+       CAST(CASE WHEN c.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT)
+         AS is_keeper
+FROM c JOIN k USING (canon_url)
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
     "dedup_keep_canonical": (dedup_keep_canonical, DEDUP_KEEP_SQL),
     "dedup_minhash_signature": (dedup_minhash_signature, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, DEDUP_MINHASH_PAIRS_SQL),

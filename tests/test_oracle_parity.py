@@ -97,6 +97,9 @@ R02_PROVEN_FROZEN = {
     # r02 rows stand
     "w3_running_max", "w4_lead_lag",
     "a5_group_collect_ordered", "a6_match_count",
+    # pushed past 50 by quality_c4_rules + dedup_url_canonical; bodies
+    # unchanged since a42e6eb — r02 rows stand
+    "a1_watermark_max", "a3_resume_antijoin",
 }
 
 
