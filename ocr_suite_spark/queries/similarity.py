@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .common import t
-from .dedup import _cos
+from .dedup import COS_BLOCK_BITS, _cos
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -318,7 +318,8 @@ WHERE rnk <= {TOP_K}
 """
 
 
-KNN_BITS = 4  # coarser blocking than the 8-bit query LSH: every vector
+# blocking reuses dedup's cosine-block definition (COS_BLOCK_BITS-bit
+# sign bucket): coarser than the 8-bit query LSH because every vector
 # needs in-bucket company, not just the 8 query points (~n/16 per bucket)
 KNN_K = 3
 
@@ -329,7 +330,7 @@ def knn_self_join(spark: SparkSession, sf: str) -> DataFrame:
     similarity graph behind semantic dedup and clustering pipelines.
 
     Scale shape: the all-pairs cross join (n² at 10^12 = never) becomes a
-    bucket equi-join on the KNN_BITS sign-bucket — the same blocked-scoring
+    bucket equi-join on the COS_BLOCK_BITS sign-bucket — the same blocked-scoring
     discipline as `dedup_embedding_cosine`, but emitting ranked neighbors
     instead of thresholded pairs. Within-bucket population bounds the
     quadratic term by occupancy; the per-vector top-K window partitions on
@@ -340,7 +341,7 @@ def knn_self_join(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-        _bucket_col(F.col("embedding"), KNN_BITS).alias("bucket"),
+        _bucket_col(F.col("embedding"), COS_BLOCK_BITS).alias("bucket"),
     )
     a = emb.alias("a")
     b = emb.alias("b")
@@ -361,7 +362,8 @@ def knn_self_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DUCK_KNN_BUCKET = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(KNN_BITS)
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(COS_BLOCK_BITS)
 )
 
 KNN_SELF_SQL = f"""

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import fsec, t
 
 # gap that closes a session: 1 day (median per-user inter-event gap in the
 # synthetic corpus is ~7.3 h, p90 ~25 h -> sessions average a few events)
@@ -124,14 +124,19 @@ FROM clicks c ASOF LEFT JOIN views v
 
 
 def sessionize_gap(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap-based sessions per user: a gap > SESSION_GAP_US starts a new
+    """Gap-based sessions per user: a gap >= SESSION_GAP_US starts a new
     session; session_id is the running count of session starts. One row
-    per session with its size and extent."""
+    per session with its size and extent.
+
+    The boundary is half-open (gap == GAP splits) to match Spark's native
+    `session_window` exactly — windows [t, t+gap) don't overlap at
+    distance gap — so `stream_sessionize` is this query's true streaming
+    twin on any input, not just gap-free-of-the-boundary data."""
     e = _ev_us(spark, sf).select("user_id", "ts_us")
     wo = W.partitionBy("user_id").orderBy("ts_us")
     gap = F.col("ts_us") - F.lag("ts_us").over(wo)
     starts = e.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap >= SESSION_GAP_US), 1).otherwise(0)
     )
     sess = starts.withColumn(
         "session_id",
@@ -155,7 +160,7 @@ WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 starts AS (
   SELECT user_id, ts_us,
          CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
-                OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US} THEN 1
+                OR ts_us - LAG(ts_us) OVER w >= {SESSION_GAP_US} THEN 1
               ELSE 0 END AS is_new
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
 ),
@@ -219,7 +224,7 @@ def rolling_range_1d(spark: SparkSession, sf: str) -> DataFrame:
     trailing 1-day event-time range frame (inclusive of the current row)."""
     e = t(spark, sf, "events").select(
         "event_id", "user_id",
-        F.unix_timestamp("ts").alias("ts_s"),
+        fsec(F.col("ts")).alias("ts_s"),
         F.floor("value").cast("long").alias("v"),
     )
     w = (

@@ -44,6 +44,16 @@ def test_plan_rolling_is_single_user_shuffle(spark):
     assert len(ex) == 1 and ex[0].startswith("user_id"), ex
 
 
+def test_plan_range_join_is_equi_join(spark):
+    """The ±W predicate must execute as a bucket EQUI-join — any
+    NestedLoop/Cartesian in the plan means the bucketing failed and the
+    join is all-pairs-per-user (quadratic at scale)."""
+    plan = range_join_nearby(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    ex = _exchanges(range_join_nearby(spark, SF))
+    assert all(e.startswith(("user_id", "event_id")) for e in ex), ex
+
+
 def test_asof_matches_bruteforce(spark):
     """Third engine: per-click brute-force max(view.ts <= click.ts) in
     pandas over the raw parquet."""
@@ -67,7 +77,8 @@ def test_asof_matches_bruteforce(spark):
 
 def test_sessionize_invariants(spark):
     """Partition property: sessions tile each user's events exactly; every
-    intra-session gap <= GAP and every inter-session gap > GAP."""
+    inter-session gap >= GAP (half-open boundary, matching
+    session_window)."""
     sess = sessionize_gap(spark, SF).toPandas()
     ev = pd.read_parquet(f"{SF}/events.parquet")
     ev["ts_us"] = ev["ts"].astype("int64")
@@ -81,7 +92,7 @@ def test_sessionize_invariants(spark):
         for r in g.itertuples():
             assert r.start_us <= r.end_us
             if prev_end is not None:
-                assert r.start_us - prev_end > SESSION_GAP_US
+                assert r.start_us - prev_end >= SESSION_GAP_US
             prev_end = r.end_us
         # event count per user matches
         n_user = int((ev.user_id == uid).sum())
