@@ -21,6 +21,7 @@ from . import (
     curation,
     dedup,
     extraction,
+    graph,
     multimodal,
     relational,
     sampling,
@@ -43,7 +44,7 @@ from . import (
 _MODULES = [
     extraction, multimodal, sampling, curation, webextract, temporal,
     dedup, scalars, relational,
-    similarity, textstats,
+    similarity, textstats, graph,
 ]
 
 # Queries pulled to the FRONT of the registry regardless of their module's
@@ -56,6 +57,7 @@ _PRIORITY: list[str] = [
     "tfidf_top_terms",
     "knn_self_join",
     "bm25_search",
+    "pagerank_2iter",
 ]
 
 # Queries pushed to the BACK of the registry (past the 50-entry grading
@@ -81,6 +83,10 @@ _DEMOTE: list[str] = [
     # unchanged since a42e6eb (relational.py diff touches only o1)
     "a1_watermark_max",
     "a3_resume_antijoin",
+    # demoted to admit dom_text_density; body unchanged since a42e6eb
+    "j3_pair_by_key",
+    # demoted to admit pagerank_2iter; body unchanged since a42e6eb
+    "j1_dict_like_join",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -1,0 +1,157 @@
+"""Link-graph operators over the document corpus.
+
+A web-scale corpus is also a web GRAPH, and the single most-run batch
+computation over that graph is PageRank. The corpus tables carry no link
+column, so the edge list is SYNTHESIZED deterministically from doc_id:
+each node u emits 2-3 targets through quasi-random quadratic hash maps
+(((u % p1) * (u % p2) + a*u + b) % N with distinct prime pairs per map;
+products stay < 1e10 so the arithmetic is overflow-safe int64 at ANY
+corpus size), duplicates dropped. Affine maps (2u+1 etc.) would give
+every node identical in-degree modulo parity — no rank variation to
+grade; the quadratic maps give a skewed in-degree distribution like a
+real link graph. Both engines derive the identical graph from the same
+rows, so the oracle grades the ITERATION, not the synthesis. With a real
+crawl the synthesis is replaced by an extracted outlink column (see
+webextract.py's html queries).
+
+Determinism across engines: PageRank is usually float math, and parallel
+float summation is fold-order-dependent — exactly what the driver's
+value-hash compare cannot tolerate. So ranks are FIXED-POINT integers
+(scale K = 1e9): rank0 = K // N, each iteration's contribution is
+(85 * rank) DIV (100 * deg) with integer division, and the damping base
+is (15 * K) DIV (100 * N). Every operation is exact 64-bit integer
+arithmetic, so any fold order and any partitioning give bit-identical
+ranks. 85*K fits comfortably in int64.
+
+Scale shape (per iteration): one equi-join of the edge list with the
+rank vector on src and one groupBy on dst — the standard distributed
+PageRank stages. Iteration count is fixed (2), so lineage stays shallow
+(no checkpoint needed); at a real 10^12-edge scale each iteration is two
+shuffles, both keyed, both AQE-sizeable, and the rank vector stays
+(id, long) narrow. The one driver-side action is a scalar count(N) used
+as a literal — the same pattern as the IVF centroid constant.
+
+Reference tie-in: the reference has no graph op (it is a single-corpus
+OCR tool); this extends the engine along the training-data-pipeline axis
+(link-based quality priors for crawl curation are public practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+K = 10**9  # fixed-point scale for ranks
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as a ratio
+_ITERS = 2
+
+
+# (p1, p2, a, b) per target map; map 3 fires on even u only (out-deg 2 or 3)
+_MAPS = [
+    (100003, 99991, 3, 1),
+    (31337, 31357, 7, 2),
+    (7919, 7907, 11, 5),
+]
+
+
+def _edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    u = F.col("doc_id").cast("long")
+
+    def tgt(p1, p2, a, b):
+        return ((u % p1) * (u % p2) + a * u + b) % n_docs
+
+    raw = F.array(
+        tgt(*_MAPS[0]),
+        tgt(*_MAPS[1]),
+        F.when(u % 2 == 0, tgt(*_MAPS[2])),
+    )
+    targets = F.array_distinct(F.filter(raw, lambda x: x.isNotNull()))
+    return docs.select(u.alias("src"), F.explode(targets).alias("dst"))
+
+
+def pagerank_2iter(spark: SparkSession, sf: str) -> DataFrame:
+    """Two fixed-point PageRank iterations over the synthetic link graph:
+    per node the final rank (scale K), out-degree and in-degree."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    n_docs = docs.count()  # scalar literal, not a per-row collect
+    edges = _edges(docs, n_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    base = (15 * K) // (100 * n_docs)
+    r = nodes.select("id", F.lit(K // n_docs).cast("long").alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(r, edges.src == r["id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("to_id"),
+                F.expr(f"({_D_NUM} * rank) DIV ({_D_DEN} * deg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("to_id").agg(F.sum("c").cast("long").alias("s"))
+        r = nodes.join(sums, nodes.id == F.col("to_id"), "left").select(
+            "id",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+    in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("in_deg"))
+    return (
+        r.join(deg, r.id == deg.src, "left")
+        .join(in_deg, r.id == in_deg.dst, "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "rank",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+PAGERANK_SQL = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+edges AS (
+  SELECT id AS src,
+         unnest(list_distinct(list_filter([
+           ((id % {_MAPS[0][0]}) * (id % {_MAPS[0][1]}) + {_MAPS[0][2]} * id + {_MAPS[0][3]}) % n,
+           ((id % {_MAPS[1][0]}) * (id % {_MAPS[1][1]}) + {_MAPS[1][2]} * id + {_MAPS[1][3]}) % n,
+           CASE WHEN id % 2 = 0 THEN
+             ((id % {_MAPS[2][0]}) * (id % {_MAPS[2][1]}) + {_MAPS[2][2]} * id + {_MAPS[2][3]}) % n
+           ELSE NULL END
+         ], x -> x IS NOT NULL))) AS dst
+  FROM nodes CROSS JOIN nn
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST({K} // n AS BIGINT) AS rank FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT e.dst AS id, CAST(SUM(({_D_NUM} * r.rank) // ({_D_DEN} * d.deg)) AS BIGINT) AS s
+  FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n2.id, CAST({15 * K} // (100 * nn.n) + COALESCE(c1.s, 0) AS BIGINT) AS rank
+  FROM nodes n2 CROSS JOIN nn LEFT JOIN c1 ON n2.id = c1.id
+),
+c2 AS (
+  SELECT e.dst AS id, CAST(SUM(({_D_NUM} * r.rank) // ({_D_DEN} * d.deg)) AS BIGINT) AS s
+  FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n2.id, CAST({15 * K} // (100 * nn.n) + COALESCE(c2.s, 0) AS BIGINT) AS rank
+  FROM nodes n2 CROSS JOIN nn LEFT JOIN c2 ON n2.id = c2.id
+),
+indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)
+SELECT r2.id AS doc_id, r2.rank,
+       CAST(COALESCE(deg.deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(indeg.in_deg, 0) AS BIGINT) AS in_deg
+FROM r2 LEFT JOIN deg ON r2.id = deg.src LEFT JOIN indeg ON r2.id = indeg.dst
+"""
+
+
+QUERIES = {
+    "pagerank_2iter": (pagerank_2iter, PAGERANK_SQL),
+}

@@ -292,7 +292,140 @@ FROM classified GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# DOM density classifier — the north rule's third named capability ("DOM
+# heuristics") as a per-block KEEP/DROP classifier rather than an argmax.
+# html_main_content keeps exactly one block per page (Readability's winner
+# rule) and so truncates multi-block articles; the boilerpipe-family
+# classifier instead keeps EVERY block that clears a word-count floor and a
+# link-density ceiling, which is the form production extraction pipelines
+# actually run. Signals are the two public boilerpipe core features: block
+# word count and anchor ratio. The synthetic page splits the document text
+# across TWO content divs precisely so the classifier provably differs from
+# argmax (argmax would drop the second half).
+#
+# Thresholds as integer math (no float division anywhere): keep a block iff
+# n_words >= MIN_BLOCK_WORDS and 3*n_links < n_words (link density < 1/3).
+# The nav (3 anchors / 3 words) and the footer (1 anchor / 3 words) both
+# sit exactly ON the density boundary and are dropped; the link-farm block
+# is dropped by a mile; both content halves pass.
+
+MIN_BLOCK_WORDS = 3
+
+
+def dom_text_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: all content blocks (density-classified) re-joined in
+    DOM order, plus kept/dropped block counts.
+
+    Scale: one posexplode into <= 6 block rows per doc, pure Column exprs
+    (regexp strip + integer arithmetic, whole-stage codegen), one groupBy
+    on doc_id — a single data shuffle, no window, no UDF, no join.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "source", "text")
+    ws = F.filter(F.split("text", _WS), lambda x: F.length(x) > 0)
+    n = F.size(ws)
+    h = F.floor((n + 1) / 2).cast("int")
+    half1 = F.array_join(F.slice(ws, F.lit(1), h), " ")
+    half2 = F.array_join(
+        F.slice(ws, h + 1, F.greatest(n - h, F.lit(0))), " "
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a>home</a> <a>about</a> <a>'),
+        F.col("source"),
+        F.lit("</a></nav>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<div><a>buy</a> <a>now</a> <a>deal</a> sale</div>"),
+        ).otherwise(F.lit("")),
+        F.lit("<div><p>"),
+        half1,
+        F.lit("</p></div><div><p>"),
+        half2,
+        F.lit("</p></div><footer><a>contact</a> legal terms</footer></body></html>"),
+    )
+    blocks = docs.select(
+        "doc_id", F.posexplode(F.split(html, _BLOCK_SPLIT)).alias("pos", "blk")
+    )
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("blk"), _TAG, " "), _WS, " ")
+    )
+    n_words = F.size(F.filter(F.split(clean, " "), lambda x: F.length(x) > 0)).cast(
+        "long"
+    )
+    n_links = (F.size(F.split(F.col("blk"), "<a>")) - 1).cast("long")
+    classified = blocks.select(
+        "doc_id",
+        "pos",
+        clean.alias("clean"),
+        n_words.alias("n_words"),
+        (
+            (n_words >= MIN_BLOCK_WORDS) & (3 * n_links < n_words)
+        ).alias("keep"),
+    )
+    return classified.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "clean"))
+                    )
+                ),
+                lambda x: x["clean"],
+            ),
+            " ",
+        ).alias("body_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(~F.col("keep") & (F.col("clean") != ""), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+DOM_DENSITY_SQL = f"""
+WITH halves AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '{_WS}'), x -> length(x) > 0) AS ws,
+         CAST(FLOOR((len(list_filter(string_split_regex(text, '{_WS}'), x -> length(x) > 0)) + 1) / 2) AS INT) AS h
+  FROM documents
+),
+html AS (
+  SELECT doc_id,
+    '<html><body><nav><a>home</a> <a>about</a> <a>' || source || '</a></nav>' ||
+    (CASE WHEN doc_id % 3 = 0 THEN '<div><a>buy</a> <a>now</a> <a>deal</a> sale</div>' ELSE '' END) ||
+    '<div><p>' || array_to_string(list_slice(ws, 1, h), ' ') ||
+    '</p></div><div><p>' || array_to_string(list_slice(ws, h + 1, len(ws)), ' ') ||
+    '</p></div><footer><a>contact</a> legal terms</footer></body></html>' AS html
+  FROM halves
+),
+blocks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(html, '{_BLOCK_SPLIT}'), 1) - 1 AS pos,
+         unnest(string_split_regex(html, '{_BLOCK_SPLIT}')) AS blk
+  FROM html
+),
+classified AS (
+  SELECT doc_id, pos,
+    trim(regexp_replace(regexp_replace(blk, '{_TAG}', ' ', 'g'), '{_WS}', ' ', 'g')) AS clean,
+    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(blk, '{_TAG}', ' ', 'g'), '{_WS}', ' ', 'g')), ' '), x -> length(x) > 0)) AS BIGINT) AS n_words,
+    CAST(len(string_split(blk, '<a>')) - 1 AS BIGINT) AS n_links
+  FROM blocks
+),
+keepflag AS (
+  SELECT *, (n_words >= {MIN_BLOCK_WORDS} AND 3 * n_links < n_words) AS keep
+  FROM classified
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN clean END, ' ' ORDER BY pos), '') AS body_text,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN NOT keep AND clean != '' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM keepflag GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "html_main_content": (html_main_content, HTML_MAIN_SQL),
     "pdf_layout_parse": (pdf_layout_parse, PDF_LAYOUT_SQL),
+    "dom_text_density": (dom_text_density, DOM_DENSITY_SQL),
 }

@@ -100,6 +100,12 @@ R02_PROVEN_FROZEN = {
     # pushed past 50 by quality_c4_rules + dedup_url_canonical; bodies
     # unchanged since a42e6eb — r02 rows stand
     "a1_watermark_max", "a3_resume_antijoin",
+    # pushed past 50 by dom_text_density; body unchanged since a42e6eb —
+    # r02 row stands
+    "j3_pair_by_key",
+    # pushed past 50 by pagerank_2iter; body unchanged since a42e6eb —
+    # r02 row stands
+    "j1_dict_like_join",
 }
 
 

@@ -81,6 +81,39 @@ def test_pdf_reading_order_matches_python_oracle(pdf_rows, docs_pd):
 
 
 @pytest.fixture(scope="module")
+def dom_rows(spark):
+    from ocr_suite_spark.queries.webextract import dom_text_density
+
+    return {r["doc_id"]: r for r in dom_text_density(spark, SF).collect()}
+
+
+def test_dom_density_matches_python_oracle(dom_rows, docs_pd):
+    """body_text equals the independent Python classification: both content
+    halves kept iff they clear the word floor (they carry no anchors), nav /
+    link-farm / footer always dropped (density boundary or beyond)."""
+    from ocr_suite_spark.queries.webextract import MIN_BLOCK_WORDS
+
+    both = 0
+    for _, d in docs_pd.iterrows():
+        words = _words(d["text"])
+        h = (len(words) + 1) // 2
+        halves = [words[:h], words[h:]]
+        kept = [" ".join(w) for w in halves if len(w) >= MIN_BLOCK_WORDS]
+        row = dom_rows[d["doc_id"]]
+        assert row["body_text"] == " ".join(kept), d["doc_id"]
+        assert row["n_kept"] == len(kept)
+        # dropped (nonempty): nav + footer always, link-farm on doc_id % 3 == 0,
+        # plus any nonempty content half under the word floor
+        short = sum(1 for w in halves if 0 < len(w) < MIN_BLOCK_WORDS)
+        expect_drop = 2 + (1 if d["doc_id"] % 3 == 0 else 0) + short
+        assert row["n_dropped"] == expect_drop, d["doc_id"]
+        if len(kept) == 2:
+            both += 1
+    # the corpus must exercise the multi-block keep that argmax cannot express
+    assert both > 100
+
+
+@pytest.fixture(scope="module")
 def scrub_rows(spark):
     from ocr_suite_spark.queries.curation import pii_scrub
 
