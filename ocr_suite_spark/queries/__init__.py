@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "knn_self_join",
     "bm25_search",
     "pagerank_2iter",
+    "html_outlinks",
 ]
 
 # Queries pushed to the BACK of the registry (past the 50-entry grading
@@ -87,6 +88,8 @@ _DEMOTE: list[str] = [
     "j3_pair_by_key",
     # demoted to admit pagerank_2iter; body unchanged since a42e6eb
     "j1_dict_like_join",
+    # demoted to admit html_outlinks; body unchanged since its r02 row
+    "w1_global_sort",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -152,6 +152,91 @@ FROM r2 LEFT JOIN deg ON r2.id = deg.src LEFT JOIN indeg ON r2.id = indeg.dst
 """
 
 
+# ---------------------------------------------------------------------------
+# Outlink extraction — the missing first stage of the graph pipeline above.
+# A real crawl gets its edge list by EXTRACTING hrefs from stored markup;
+# here the markup is synthesized per doc (same convention as webextract.py:
+# both engines build byte-identical HTML from the same rows) carrying one
+# host anchor plus one doc:// anchor per link target, and the registered
+# query is the EXTRACTION: regexp_extract_all over the href attribute,
+# parse, explode. Its output schema (src, dst) is exactly the edge list
+# pagerank_2iter iterates over — test_graph_ops asserts the extracted
+# edges equal the synthesized graph, so extraction → PageRank composes
+# with no adapter.
+#
+# Scale: row-local regex (codegen'd, no UDF) + one explode; zero shuffles
+# until a consumer aggregates. The href regex never backtracks
+# (single character class), so cost is linear in markup bytes.
+
+
+def html_outlinks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: the outgoing link targets extracted from (synthetic)
+    markup — (src, dst, host) rows, dst parsed from doc:// anchors."""
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    n_docs = docs.count()  # scalar literal (same as pagerank_2iter)
+    u = F.col("doc_id").cast("long")
+
+    def tgt(p1, p2, a, b):
+        return ((u % p1) * (u % p2) + a * u + b) % n_docs
+
+    anchors = F.transform(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    tgt(*_MAPS[0]),
+                    tgt(*_MAPS[1]),
+                    F.when(u % 2 == 0, tgt(*_MAPS[2])),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        lambda d: F.concat(
+            F.lit('<a href="doc://'), d.cast("string"), F.lit('">link</a>')
+        ),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://'),
+        F.col("source"),
+        F.lit('.example.com/">home</a><p>'),
+        F.array_join(anchors, " "),
+        F.lit("</p></body></html>"),
+    )
+    extracted = docs.select(
+        u.alias("src"),
+        F.regexp_extract(html, 'href="https://([^"]*)"', 1).alias("host"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit('href="doc://([0-9]+)"'), 1)
+        ).alias("dst_s"),
+    )
+    return extracted.select(
+        "src", F.col("dst_s").cast("long").alias("dst"), "host"
+    )
+
+
+OUTLINKS_SQL = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id, source FROM documents),
+pages AS (
+  SELECT id, source,
+    '<html><body><a href="https://' || source || '.example.com/">home</a><p>' ||
+    array_to_string(list_transform(list_distinct(list_filter([
+      ((id % {_MAPS[0][0]}) * (id % {_MAPS[0][1]}) + {_MAPS[0][2]} * id + {_MAPS[0][3]}) % n,
+      ((id % {_MAPS[1][0]}) * (id % {_MAPS[1][1]}) + {_MAPS[1][2]} * id + {_MAPS[1][3]}) % n,
+      CASE WHEN id % 2 = 0 THEN
+        ((id % {_MAPS[2][0]}) * (id % {_MAPS[2][1]}) + {_MAPS[2][2]} * id + {_MAPS[2][3]}) % n
+      ELSE NULL END
+    ], x -> x IS NOT NULL)), d -> '<a href="doc://' || d || '">link</a>'), ' ') ||
+    '</p></body></html>' AS html
+  FROM ids CROSS JOIN nn
+)
+SELECT id AS src,
+       CAST(unnest(regexp_extract_all(html, 'href="doc://([0-9]+)"', 1)) AS BIGINT) AS dst,
+       regexp_extract(html, 'href="https://([^"]*)"', 1) AS host
+FROM pages
+"""
+
+
 QUERIES = {
     "pagerank_2iter": (pagerank_2iter, PAGERANK_SQL),
+    "html_outlinks": (html_outlinks, OUTLINKS_SQL),
 }

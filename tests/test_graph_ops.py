@@ -69,6 +69,23 @@ def test_pagerank_matches_python_oracle_exactly(pr_rows, doc_ids):
         assert row["in_deg"] == in_deg.get(u, 0), u
 
 
+def test_outlink_extraction_recovers_the_graph(spark, doc_ids):
+    """html_outlinks' regex extraction over the markup yields EXACTLY the
+    edge list pagerank_2iter iterates over — extraction → PageRank composes
+    with no adapter, which is the real-crawl pipeline shape."""
+    from ocr_suite_spark.queries.graph import _edges, html_outlinks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    synthesized = {
+        (r["src"], r["dst"]) for r in _edges(docs, len(doc_ids)).collect()
+    }
+    rows = html_outlinks(spark, SF).collect()
+    extracted = {(r["src"], r["dst"]) for r in rows}
+    assert extracted == synthesized
+    # the host anchor is extracted alongside and never collides with doc://
+    assert all(r["host"].endswith(".example.com/") for r in rows)
+
+
 def test_pagerank_conservation_invariants(pr_rows):
     from ocr_suite_spark.queries.graph import K
 

@@ -106,6 +106,9 @@ R02_PROVEN_FROZEN = {
     # pushed past 50 by pagerank_2iter; body unchanged since a42e6eb —
     # r02 row stands
     "j1_dict_like_join",
+    # pushed past 50 by html_outlinks; body unchanged since its r02 row
+    # (r3 relational.py diff touched only o1)
+    "w1_global_sort",
 }
 
 
