@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    clustering,
     curation,
     dedup,
     extraction,
@@ -44,7 +45,7 @@ from . import (
 _MODULES = [
     extraction, multimodal, sampling, curation, webextract, temporal,
     dedup, scalars, relational,
-    similarity, textstats, graph,
+    similarity, textstats, graph, clustering,
 ]
 
 # Queries pulled to the FRONT of the registry regardless of their module's
@@ -59,6 +60,7 @@ _PRIORITY: list[str] = [
     "bm25_search",
     "pagerank_2iter",
     "html_outlinks",
+    "kmeans_2iter",
 ]
 
 # Queries pushed to the BACK of the registry (past the 50-entry grading
@@ -90,6 +92,8 @@ _DEMOTE: list[str] = [
     "j1_dict_like_join",
     # demoted to admit html_outlinks; body unchanged since its r02 row
     "w1_global_sort",
+    # demoted to admit kmeans_2iter; body unchanged since a42e6eb
+    "w2_time_rollup",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

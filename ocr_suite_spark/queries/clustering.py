@@ -1,0 +1,152 @@
+"""Embedding-space clustering for corpus curation.
+
+Cluster-based curation is a standard large-pipeline stage (cluster the
+corpus in embedding space, then balance / dedup / filter per cluster).
+The operator is Lloyd's k-means with K=8 centroids and a fixed 2
+update rounds, made EXACTLY reproducible across engines the same way
+pagerank_2iter is: no float accumulation anywhere the result depends on.
+
+Determinism recipe:
+- quantize: q[i] = floor(x[i] * 1024) — multiplying a float by a power
+  of two is exact in IEEE-754, so the quantization is bit-identical in
+  Spark, DuckDB and Python regardless of float32/float64 promotion;
+- distances: integer squared Euclidean over the quantized vectors
+  (|q| <= ~1024, dim 64 -> max dist ~2.7e8, exact int64; DuckDB's
+  list_dot_product on these magnitudes is exact in double too);
+- centroid update: element-wise floor(sum / count) — floor-of-double on
+  both engines (NOT integer DIV: Spark DIV truncates toward zero while
+  DuckDB // floors, and sums go negative; floor() agrees everywhere,
+  exact while |sum| < 2^53);
+- init: the quantized vectors of vec_id 0..K-1; ties in assignment break
+  on centroid id; an emptied cluster keeps its previous centroid.
+
+Scale shape: each assignment is a K-row broadcast over the corpus (the
+IVF-centroid pattern, similarity.py) scored with codegen'd integer
+arithmetic; each update is one groupBy(cid, pos) whose map-side partial
+aggregation reduces the shuffle to K x dim rows regardless of corpus
+size. Iteration count fixed -> shallow lineage. This is exactly how
+k-means over 10^12 embeddings is run in practice (minibatch variants
+change the sampling, not the dataflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import t
+
+Q_SCALE = 1024  # power of two: float multiply is exact
+KM_K = 8
+KM_ITERS = 2
+
+
+def _quantized(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * Q_SCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _sqdist(qcol, ccol):
+    return F.aggregate(
+        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _sqdist(F.col("q"), F.col("c")).alias("dist")
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")  # K rows per vec
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    dims = assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+    sums = dims.groupBy("cid", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    newdims = sums.select(
+        "cid", "pos", F.floor(F.col("s") / F.col("cnt")).cast("long").alias("cv")
+    )
+    newc = newdims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+        ).alias("c_new")
+    )
+    return prev.join(newc, "cid", "left").select(
+        "cid", F.coalesce("c_new", "c").alias("c")
+    )
+
+
+def kmeans_2iter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per vector: its cluster and integer squared distance after two
+    exact-arithmetic Lloyd rounds (init = quantized vec_id 0..K-1)."""
+    q = _quantized(spark, sf)
+    cents = q.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    for _ in range(KM_ITERS):
+        cents = _update(_assign(q, cents), cents)
+    return _assign(q, cents).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
+def _duck_assign(src: str, cents: str, out: str) -> str:
+    dist = (
+        f"{src}.qnorm - 2 * CAST(list_dot_product({src}.q, {cents}.c) AS BIGINT)"
+        f" + CAST(list_dot_product({cents}.c, {cents}.c) AS BIGINT)"
+    )
+    return f"""{out} AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT {src}.vec_id, {src}.q, {cents}.cid, {dist} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id ORDER BY {dist}, {cents}.cid) AS rn
+    FROM {src} CROSS JOIN {cents}) WHERE rn = 1
+)"""
+
+
+def _duck_update(assigned: str, prev: str, out: str) -> str:
+    return f"""{out}_dims AS (
+  SELECT cid, CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv, pos
+  FROM (SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS v FROM {assigned})
+  GROUP BY cid, pos
+),
+{out} AS (
+  SELECT {prev}.cid, COALESCE(n.c_new, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS c_new FROM {out}_dims GROUP BY cid) n
+  ON {prev}.cid = n.cid
+)"""
+
+
+KMEANS_SQL = f"""
+WITH qraw AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qq AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS qnorm FROM qraw),
+c0 AS (SELECT vec_id AS cid, q AS c FROM qraw WHERE vec_id < {KM_K}),
+{_duck_assign("qq", "c0", "a1")},
+{_duck_update("a1", "c0", "c1")},
+{_duck_assign("qq", "c1", "a2")},
+{_duck_update("a2", "c1", "c2")},
+{_duck_assign("qq", "c2", "a3")}
+SELECT vec_id, cid AS cluster, dist FROM a3
+"""
+
+
+QUERIES = {
+    "kmeans_2iter": (kmeans_2iter, KMEANS_SQL),
+}

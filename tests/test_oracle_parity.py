@@ -109,6 +109,9 @@ R02_PROVEN_FROZEN = {
     # pushed past 50 by html_outlinks; body unchanged since its r02 row
     # (r3 relational.py diff touched only o1)
     "w1_global_sort",
+    # pushed past 50 by kmeans_2iter; body unchanged since a42e6eb —
+    # r02 row stands
+    "w2_time_rollup",
 }
 
 

@@ -33,6 +33,7 @@ BNLJ_OK = {
     "ann_topk_bruteforce": "BuildLeft: the 8-query set broadcast over the corpus",
     "ann_ivf_topk": "BuildLeft: 16 centroid rows broadcast for cell assignment",
     "ann_ivf_multiprobe": "BuildLeft: the same 16-centroid broadcast assignment",
+    "kmeans_2iter": "K=8 centroid rows broadcast per assignment pass (IVF pattern)",
 }
 
 
