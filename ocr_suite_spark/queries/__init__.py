@@ -94,6 +94,8 @@ _DEMOTE: list[str] = [
     "w1_global_sort",
     # demoted to admit kmeans_2iter; body unchanged since a42e6eb
     "w2_time_rollup",
+    # demoted to admit quality_gopher_rules; body unchanged since a42e6eb
+    "p11_relative_time",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

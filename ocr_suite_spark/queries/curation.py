@@ -548,6 +548,91 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1) — the third public ruleset
+# beside C4 (quality_c4_rules) and the repetition filters
+# (quality_repetition): document-level bounds on word count, mean word
+# length, alphabetic-word fraction, and a minimum count of distinct
+# "stop words". Parameters are corpus-adapted (the published English
+# thresholds assume natural text; this synthetic corpus has a 30-word
+# vocabulary and 9-98-token documents, so the word floor is 20 and the
+# stopword list is the corpus's eight highest-DF function-word analogs) —
+# the RULE STRUCTURE is Gopher's, the constants are tuned per corpus
+# exactly as the paper tunes per language.
+#
+# Scale: one explode + one doc_id aggregation — map-side combinable, a
+# single data shuffle at any corpus size; the keep flag is derived from
+# the REPORTED (fixed-precision) columns so the verdict is a pure
+# function of the graded output.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP = 2
+GOPHER_STOPWORDS = [
+    "scan", "window", "order", "sort", "part", "key", "join", "merge",
+]
+
+
+def quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: the four Gopher §A1.1 signals plus the composite
+    keep flag. Documents with zero (>=3-char) tokens yield no row, the
+    same empty-document convention as pdf_layout_parse."""
+    docs = t(spark, sf, "documents")
+    tk = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    ag = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        floor3(F.sum(F.length("tok")) / F.count(F.lit(1))).alias("mean_word_len"),
+        floor3(
+            F.sum(F.when(F.col("tok").rlike("[a-zA-Z]"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("alpha_frac"),
+        F.countDistinct(
+            F.when(F.col("tok").isin(GOPHER_STOPWORDS), F.col("tok"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    return ag.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stop",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("mean_word_len") >= GOPHER_MIN_MWL)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MWL)
+            & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA)
+            & (F.col("n_stop") >= GOPHER_MIN_STOP)
+        ).alias("keep"),
+    )
+
+
+_DUCK_STOPLIST = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+GOPHER_RULES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+),
+ag AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    FLOOR(CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) * 1000) / 1000 AS mean_word_len,
+    FLOOR(CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) * 1000) / 1000 AS alpha_frac,
+    CAST(COUNT(DISTINCT CASE WHEN tok IN ({_DUCK_STOPLIST}) THEN tok END) AS BIGINT) AS n_stop
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND mean_word_len >= {GOPHER_MIN_MWL} AND mean_word_len <= {GOPHER_MAX_MWL}
+   AND alpha_frac >= {GOPHER_MIN_ALPHA} AND n_stop >= {GOPHER_MIN_STOP}) AS keep
+FROM ag
+"""
+
+
 QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
@@ -555,4 +640,5 @@ QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "chunk_windows": (chunk_windows, CHUNK_SQL),
     "quality_c4_rules": (quality_c4_rules, C4_RULES_SQL),
+    "quality_gopher_rules": (quality_gopher_rules, GOPHER_RULES_SQL),
 }

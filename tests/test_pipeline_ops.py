@@ -96,3 +96,51 @@ def test_lm_unigram_score_matches_python_oracle(spark, docs_tokens):
         assert -10.0 < r["lm_score3"] < 0.0
         checked += 1
     assert checked > 400
+
+
+def test_gopher_rules_match_python_oracle(spark, docs_tokens):
+    """quality_gopher_rules' four signals and keep flag recomputed
+    independently in Python over the same normalized token stream."""
+    import math
+
+    from ocr_suite_spark.queries.curation import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        quality_gopher_rules,
+    )
+
+    rows = {r["doc_id"]: r for r in quality_gopher_rules(spark, SF).collect()}
+    kept = dropped = 0
+    for doc_id, toks in docs_tokens.items():
+        if not toks:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        n = len(toks)
+        mwl = math.floor(sum(len(t) for t in toks) / n * 1000) / 1000
+        alpha = (
+            math.floor(
+                sum(1 for t in toks if re.search("[a-zA-Z]", t)) / n * 1000
+            )
+            / 1000
+        )
+        n_stop = len({t for t in toks if t in GOPHER_STOPWORDS})
+        assert (r["n_words"], r["mean_word_len"], r["alpha_frac"], r["n_stop"]) == (
+            n, mwl, alpha, n_stop
+        ), doc_id
+        keep = (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MWL <= mwl <= GOPHER_MAX_MWL
+            and alpha >= GOPHER_MIN_ALPHA
+            and n_stop >= GOPHER_MIN_STOP
+        )
+        assert r["keep"] == keep, doc_id
+        kept += keep
+        dropped += not keep
+    # the thresholds must actually discriminate on this corpus
+    assert kept > 100 and dropped > 10
