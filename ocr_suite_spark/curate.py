@@ -9,6 +9,7 @@ exposes individually.
                                    contaminate the eval by construction)
       └─ 3. eval decontamination  (shared-shingle threshold vs held-out slice)
       └─ 4. quality filtering     (Gopher-style repetition thresholds)
+      └─ 4b. Gopher rules         (word-count/length/alpha/stopword bounds)
       └─ 5. mixture sampling      (target source proportions, deterministic)
       └─ 6. sequence packing      (two-pass distributed prefix-sum binning)
 
@@ -31,7 +32,12 @@ from pyspark.sql import functions as F
 
 from . import tableio
 from .queries.common import t
-from .queries.curation import pack_bins, quality_repetition, decontaminate
+from .queries.curation import (
+    decontaminate,
+    pack_bins,
+    quality_gopher_rules,
+    quality_repetition,
+)
 from .queries.dedup import dedup_keep_canonical
 from .queries.sampling import sample_mixture
 
@@ -108,6 +114,15 @@ def curate(
     )
     survivors = _stage(
         survivors.join(bad_quality, "doc_id", "left_anti"), "after_quality"
+    )
+
+    # 4b. Gopher document-quality rules (word-count / word-length / alpha /
+    # stopword bounds) — keep-side semi-join, the second public ruleset
+    gopher_keep = (
+        quality_gopher_rules(spark, sf).where(F.col("keep")).select("doc_id")
+    )
+    survivors = _stage(
+        survivors.join(gopher_keep, "doc_id", "left_semi"), "after_gopher"
     )
 
     # 5. deterministic mixture sampling toward target source proportions

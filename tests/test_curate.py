@@ -26,7 +26,7 @@ def test_curate_funnel(spark, sf_dir, out_dir):
     # corpus (thresholds are tuned to be non-trivial at test SF)
     order = [
         "input", "after_dedup", "after_holdout", "after_decontaminate",
-        "after_quality", "after_mixture",
+        "after_quality", "after_gopher", "after_mixture",
     ]
     counts = [stages[k] for k in order]
     assert counts == sorted(counts, reverse=True)
