@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "pagerank_2iter",
     "html_outlinks",
     "kmeans_2iter",
+    "hits_2iter",
 ]
 
 # Queries pushed to the BACK of the registry (past the 50-entry grading
@@ -96,6 +97,8 @@ _DEMOTE: list[str] = [
     "w2_time_rollup",
     # demoted to admit quality_gopher_rules; body unchanged since a42e6eb
     "p11_relative_time",
+    # demoted to admit hits_2iter; body unchanged since a42e6eb
+    "w2_tree_rollup",
 ]
 
 _BY_MODULE: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

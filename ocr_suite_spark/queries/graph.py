@@ -236,7 +236,103 @@ FROM pages
 """
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities — the other classical link-analysis ranking
+# (Kleinberg 1999). Two UNNORMALIZED power iterations: a(v) = Σ h(u) over
+# in-edges, h(u) = Σ a(v) over out-edges, h0 = 1. Skipping the usual L2
+# normalization keeps every operation an exact integer sum — and changes
+# nothing that matters: each normalization divides ALL scores by one
+# global constant, so after any fixed number of iterations the
+# unnormalized scores are the normalized ones times a known scalar —
+# identical ranking, exact cross-engine equality. Growth is bounded by
+# (max degree)^iters ≈ 3^4 here, nowhere near int64.
+#
+# Scale shape: identical to pagerank_2iter — per half-iteration one
+# edges⋈scores equi-join and one groupBy on the opposite endpoint.
+
+
+def hits_2iter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per node: unnormalized hub and authority scores after two HITS
+    rounds over the synthetic link graph (ranking-equivalent to the
+    normalized scores; see module comment)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    n_docs = docs.count()
+    edges = _edges(docs, n_docs)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    h = nodes.select("id", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(_ITERS):
+        a_sums = (
+            edges.join(h, edges.src == h["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("s"))
+        )
+        a = nodes.join(a_sums, nodes.id == F.col("dst"), "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("a")
+        )
+        h_sums = (
+            edges.join(a, edges.dst == a["id"])
+            .groupBy("src")
+            .agg(F.sum("a").cast("long").alias("s"))
+        )
+        h = nodes.join(h_sums, nodes.id == F.col("src"), "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("h")
+        )
+    return (
+        h.join(a, "id")
+        .select(F.col("id").alias("doc_id"), F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )
+
+
+def _duck_edge_list() -> str:
+    return f"""
+  SELECT id AS src,
+         unnest(list_distinct(list_filter([
+           ((id % {_MAPS[0][0]}) * (id % {_MAPS[0][1]}) + {_MAPS[0][2]} * id + {_MAPS[0][3]}) % n,
+           ((id % {_MAPS[1][0]}) * (id % {_MAPS[1][1]}) + {_MAPS[1][2]} * id + {_MAPS[1][3]}) % n,
+           CASE WHEN id % 2 = 0 THEN
+             ((id % {_MAPS[2][0]}) * (id % {_MAPS[2][1]}) + {_MAPS[2][2]} * id + {_MAPS[2][3]}) % n
+           ELSE NULL END
+         ], x -> x IS NOT NULL))) AS dst
+  FROM nodes CROSS JOIN nn"""
+
+
+HITS_SQL = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+edges AS ({_duck_edge_list()}),
+h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes),
+a1 AS (
+  SELECT n2.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS a
+  FROM nodes n2 LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.h) AS s FROM edges e JOIN h0 h ON e.src = h.id GROUP BY e.dst
+  ) s ON n2.id = s.id
+),
+h1 AS (
+  SELECT n2.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS h
+  FROM nodes n2 LEFT JOIN (
+    SELECT e.src AS id, SUM(a.a) AS s FROM edges e JOIN a1 a ON e.dst = a.id GROUP BY e.src
+  ) s ON n2.id = s.id
+),
+a2 AS (
+  SELECT n2.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS a
+  FROM nodes n2 LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.h) AS s FROM edges e JOIN h1 h ON e.src = h.id GROUP BY e.dst
+  ) s ON n2.id = s.id
+),
+h2 AS (
+  SELECT n2.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS h
+  FROM nodes n2 LEFT JOIN (
+    SELECT e.src AS id, SUM(a.a) AS s FROM edges e JOIN a2 a ON e.dst = a.id GROUP BY e.src
+  ) s ON n2.id = s.id
+)
+SELECT h2.id AS doc_id, h2.h AS hub, a2.a AS auth
+FROM h2 JOIN a2 ON h2.id = a2.id
+"""
+
+
 QUERIES = {
     "pagerank_2iter": (pagerank_2iter, PAGERANK_SQL),
     "html_outlinks": (html_outlinks, OUTLINKS_SQL),
+    "hits_2iter": (hits_2iter, HITS_SQL),
 }

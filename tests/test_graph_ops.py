@@ -86,6 +86,39 @@ def test_outlink_extraction_recovers_the_graph(spark, doc_ids):
     assert all(r["host"].endswith(".example.com/") for r in rows)
 
 
+def test_hits_matches_python_oracle_exactly(spark, doc_ids):
+    """Unnormalized HITS is pure integer summation — exact equality with
+    the Python replica, same rationale as the PageRank test."""
+    from ocr_suite_spark.queries.graph import _ITERS, _MAPS, hits_2iter
+
+    n = len(doc_ids)
+
+    def tgt(u, p1, p2, a, b):
+        return ((u % p1) * (u % p2) + a * u + b) % n
+
+    edges = []
+    for u in doc_ids:
+        targets = {tgt(u, *_MAPS[0]), tgt(u, *_MAPS[1])}
+        if u % 2 == 0:
+            targets.add(tgt(u, *_MAPS[2]))
+        edges.extend((u, v) for v in targets)
+    h = {u: 1 for u in doc_ids}
+    a = {}
+    for _ in range(_ITERS):
+        a = {u: 0 for u in doc_ids}
+        for u, v in edges:
+            a[v] += h[u]
+        h = {u: 0 for u in doc_ids}
+        for u, v in edges:
+            h[u] += a[v]
+    rows = {r["doc_id"]: r for r in hits_2iter(spark, SF).collect()}
+    assert set(rows) == set(doc_ids)
+    for u in doc_ids:
+        assert (rows[u]["hub"], rows[u]["auth"]) == (h[u], a[u]), u
+    # non-degenerate: scores vary and some sinks have hub 0
+    assert len({r["hub"] for r in rows.values()}) > 10
+
+
 def test_pagerank_conservation_invariants(pr_rows):
     from ocr_suite_spark.queries.graph import K
 

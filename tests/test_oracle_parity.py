@@ -115,6 +115,9 @@ R02_PROVEN_FROZEN = {
     # pushed past 50 by quality_gopher_rules; body unchanged since
     # a42e6eb — r02 row stands
     "p11_relative_time",
+    # pushed past 50 by hits_2iter; body unchanged since a42e6eb —
+    # r02 row stands
+    "w2_tree_rollup",
 }
 
 
