@@ -53,29 +53,50 @@ def parse_media_ref(ref: str) -> tuple[list[str], int, int]:
     return m.group(1).split("_"), int(m.group(2)), int(m.group(3))
 
 
+# Gather-index memo for rotate_nn, keyed on (h, w, deg): the source-pixel
+# mapping is a pure function of shape + angle, and canvas shapes cluster
+# tightly (word-count x skew combinations), so a long-lived worker hits this
+# almost always. ~4 bytes/pixel per entry; capped like Recognizer._POOL_BINS.
+_ROT_IDX: dict[tuple[int, int, float], tuple[np.ndarray, np.ndarray]] = {}
+_ROT_IDX_CAP = 128
+
+
+def _rot_nn_index(h: int, w: int, deg: float) -> tuple[np.ndarray, np.ndarray]:
+    key = (h, w, float(deg))
+    cached = _ROT_IDX.get(key)
+    if cached is None:
+        theta = np.deg2rad(deg)
+        cos_t, sin_t = np.float64(np.cos(theta)), np.float64(np.sin(theta))
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        # broadcasted inverse-rotation source coords (float64 for stable
+        # rint, int32 indices, no meshgrid materialization)
+        xx = np.arange(w, dtype=np.float64)[None, :] - cx
+        yy = np.arange(h, dtype=np.float64)[:, None] - cy
+        xi = np.rint(cos_t * xx + sin_t * yy + cx).astype(np.int32)
+        yi = np.rint(-sin_t * xx + cos_t * yy + cy).astype(np.int32)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        np.clip(xi, 0, w - 1, out=xi)
+        np.clip(yi, 0, h - 1, out=yi)
+        flat = yi * np.int32(w)
+        flat += xi  # flat gather indices, (h, w)
+        if len(_ROT_IDX) > _ROT_IDX_CAP:
+            _ROT_IDX.clear()
+        cached = _ROT_IDX[key] = (flat, ~valid)
+    return cached
+
+
 def rotate_nn(img: np.ndarray, deg: float, fill: int | float = PAPER) -> np.ndarray:
     """Nearest-neighbor rotation about the image center (same output size).
 
     Inverse-mapped and fully vectorized; deterministic across platforms.
-    """
+    The gather indices are memoized per (shape, angle) — recomputing them
+    was ~45% of the whole render path (BENCH.md r3 kernel profile)."""
     if deg == 0:
         return img.copy()
     h, w = img.shape
-    theta = np.deg2rad(deg)
-    cos_t, sin_t = np.float64(np.cos(theta)), np.float64(np.sin(theta))
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    # broadcasted inverse-rotation source coords (float64 for stable rint,
-    # int32 indices, no meshgrid materialization — these temporaries dominate
-    # memory traffic when 32 workers render concurrently)
-    xx = np.arange(w, dtype=np.float64)[None, :] - cx
-    yy = np.arange(h, dtype=np.float64)[:, None] - cy
-    xi = np.rint(cos_t * xx + sin_t * yy + cx).astype(np.int32)
-    yi = np.rint(-sin_t * xx + cos_t * yy + cy).astype(np.int32)
-    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    np.clip(xi, 0, w - 1, out=xi)
-    np.clip(yi, 0, h - 1, out=yi)
-    out = img[yi, xi]
-    out[~valid] = fill
+    flat, invalid = _rot_nn_index(h, w, deg)
+    out = np.take(img.ravel(), flat)  # == img[yi, xi], same gather
+    out[invalid] = fill
     return out
 
 

@@ -113,54 +113,28 @@ def make_ocr_fn(meter=None, on_error: str = "fail"):
         raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
 
     def _ocr_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import time as _time
-
-        from ..kernels import render, textnorm
+        from ..kernels import textnorm
         from ..kernels.ocr import Recognizer
+        from .memo import QUARANTINED, BatchStats, RefMemo, make_media_compute
 
         eng = Recognizer()
-        # failed refs are memoized too (as this sentinel): a corrupt payload
-        # repeated across many rows is decoded once and counted once —
-        # n_errors counts distinct quarantined payloads per worker, not rows
-        quarantined = object()
-        memo: dict[str, object] = {}
+        stats = BatchStats()
+        memo = RefMemo(
+            make_media_compute(
+                lambda img: textnorm.ocr_words_to_text(
+                    [w.text for w in eng.recognize(img)]
+                ),
+                on_error,
+                stats,
+            )
+        )
         for pdf in batches:
-            texts = []
-            t_dec = 0.0
-            t_ocr = 0.0
-            n_fresh = 0
-            n_err = 0
-            for ref in pdf["media_ref"]:
-                t = memo.get(ref)
-                if t is None:
-                    n_fresh += 1
-                    t0 = _time.time()
-                    t1 = None
-                    try:
-                        img = render.decode_image(render.resolve_media(ref))
-                        t1 = _time.time()
-                        t = textnorm.ocr_words_to_text(
-                            [w.text for w in eng.recognize(img)]
-                        )
-                    except Exception:
-                        if on_error == "fail":
-                            raise
-                        n_err += 1
-                        if t1 is None:  # decode failed: book as decode time;
-                            t1 = _time.time()  # recognize failures stay in ocr_s
-                        t = quarantined
-                    t_dec += t1 - t0
-                    t_ocr += _time.time() - t1
-                    if len(memo) > 65536:
-                        memo.clear()
-                    memo[ref] = t
-                texts.append(None if t is quarantined else t)
-            if meter is not None:
-                meter.n_images.add(n_fresh)
-                meter.decode_s.add(t_dec)
-                meter.ocr_s.add(t_ocr)
-                if n_err:
-                    meter.n_errors.add(n_err)
+            stats.reset()
+            texts = [
+                None if (t := memo.get(ref)) is QUARANTINED else t
+                for ref in pdf["media_ref"]
+            ]
+            stats.flush(meter)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -191,57 +165,33 @@ def make_ocr_words_fn(meter=None, on_error: str = "fail"):
         raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
 
     def _ocr_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import time as _time
-
-        from ..kernels import render
         from ..kernels.ocr import Recognizer
+        from .memo import QUARANTINED, BatchStats, RefMemo, make_media_compute
 
         eng = Recognizer()
-        quarantined = object()
-        memo: dict[str, object] = {}
+        stats = BatchStats()
+        memo = RefMemo(
+            make_media_compute(
+                lambda img: [
+                    (w.text, w.left, w.top, w.right, w.bottom, w.confidence)
+                    for w in eng.recognize(img)
+                    # provider min-length filter, tesseract.cpp:113-115
+                    if len(w.text.strip()) >= MIN_TOKEN_LEN
+                ],
+                on_error,
+                stats,
+            )
+        )
         for pdf in batches:
             rows = []
-            t_dec = 0.0
-            t_ocr = 0.0
-            n_fresh = 0
-            n_err = 0
+            stats.reset()
             for doc_id, offset, ref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
                 words = memo.get(ref)
-                if words is None:
-                    n_fresh += 1
-                    t0 = _time.time()
-                    t1 = None
-                    try:
-                        img = render.decode_image(render.resolve_media(ref))
-                        t1 = _time.time()
-                        words = [
-                            (w.text, w.left, w.top, w.right, w.bottom, w.confidence)
-                            for w in eng.recognize(img)
-                            # provider min-length filter, tesseract.cpp:113-115
-                            if len(w.text.strip()) >= MIN_TOKEN_LEN
-                        ]
-                    except Exception:
-                        if on_error == "fail":
-                            raise
-                        n_err += 1
-                        if t1 is None:
-                            t1 = _time.time()
-                        words = quarantined
-                    t_dec += t1 - t0
-                    t_ocr += _time.time() - t1
-                    if len(memo) > 65536:
-                        memo.clear()
-                    memo[ref] = words
-                if words is quarantined:
+                if words is QUARANTINED:
                     continue  # span contributes no word rows
                 for w in words:
                     rows.append((doc_id, offset, ref, *w))
-            if meter is not None:
-                meter.n_images.add(n_fresh)
-                meter.decode_s.add(t_dec)
-                meter.ocr_s.add(t_ocr)
-                if n_err:
-                    meter.n_errors.add(n_err)
+            stats.flush(meter)
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -275,10 +225,14 @@ def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
     mapInPandas task costs ~0.18 core-s of fixed setup (measured), so a
     count proportional to cores would over-decompose small inputs and
     make the big-cluster level pay 4x the task overhead of the small one
-    in an N-vs-4N comparison. Clamped to [2x, 10x] parallelism so tasks
-    stay wave-schedulable at any size. AQE coalescing is NOT used here
-    on purpose: it targets partition bytes, and these rows are bytes-tiny
-    but compute-heavy.
+    in an N-vs-4N comparison. Clamped to [1.5x, 10x] parallelism so tasks
+    stay wave-schedulable at any size — the floor was 2x until r4; an
+    interleaved 5-round A/B at sf0.1/local[32] measured 64 tasks at
+    median 3.36 s vs 48 tasks at 2.72 s (salted task costs are
+    near-uniform, so the extra wave bought balance we don't need and paid
+    per-task setup we do). AQE coalescing is NOT used here on purpose:
+    it targets partition bytes, and these rows are bytes-tiny but
+    compute-heavy.
     """
     spark = media.sparkSession
     if salt_partitions:
@@ -286,7 +240,7 @@ def _salted(media: DataFrame, salt_partitions: int | None) -> DataFrame:
     else:
         cores = spark.sparkContext.defaultParallelism
         est_rows = int(media._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) / _EST_BYTES_PER_ROW
-        n = int(min(max(est_rows / _TARGET_ROWS_PER_TASK, 2 * cores), 10 * cores))
+        n = int(min(max(est_rows / _TARGET_ROWS_PER_TASK, 1.5 * cores), 10 * cores))
     salt = F.pmod(F.xxhash64("doc_id", "offset"), F.lit(n * 4))
     return media.repartition(n, salt)
 

@@ -73,24 +73,23 @@ def media_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import render
         from ..kernels.ocr import binarize
+        from ..operators.memo import RefMemo
 
-        memo: dict[str, tuple] = {}  # per-worker, keyed on media_ref — same
-        # repeated-payload defense as the OCR path (make_ocr_fn)
+        def compute(ref, data):
+            img = render.decode_image(bytes(data))
+            h, w = img.shape
+            ink = float(binarize(img).mean())
+            return (w, h, len(data), round(ink, 4))
+
+        # per-worker, keyed on media_ref — same repeated-payload defense as
+        # the OCR path (make_ocr_fn)
+        memo = RefMemo(compute)
         for pdf in batches:
             rows = []
             for doc_id, offset, ref, data in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
             ):
-                tail = memo.get(ref)
-                if tail is None:
-                    img = render.decode_image(bytes(data))
-                    h, w = img.shape
-                    ink = float(binarize(img).mean())
-                    tail = (w, h, len(data), round(ink, 4))
-                    if len(memo) > 65536:
-                        memo.clear()
-                    memo[ref] = tail
-                rows.append((doc_id, int(offset), *tail))
+                rows.append((doc_id, int(offset), *memo.get(ref, data)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "offset", "width", "height", "n_bytes", "ink_frac"]
             )
@@ -110,26 +109,24 @@ def media_resize_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import render
+        from ..operators.memo import RefMemo
 
-        memo: dict[str, tuple] = {}
+        def compute(ref, data):
+            img = render.decode_image(bytes(data))
+            h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+            small = (
+                img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            ).astype("uint8")
+            out = render.encode_image(small)
+            return (small.shape[1], small.shape[0], len(out))
+
+        memo = RefMemo(compute)
         for pdf in batches:
             rows = []
             for doc_id, offset, ref, data in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
             ):
-                tail = memo.get(ref)
-                if tail is None:
-                    img = render.decode_image(bytes(data))
-                    h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
-                    small = (
-                        img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
-                    ).astype("uint8")
-                    out = render.encode_image(small)
-                    tail = (small.shape[1], small.shape[0], len(out))
-                    if len(memo) > 65536:
-                        memo.clear()
-                    memo[ref] = tail
-                rows.append((doc_id, int(offset), *tail))
+                rows.append((doc_id, int(offset), *memo.get(ref, data)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "offset", "width", "height", "n_bytes"]
             )
@@ -150,32 +147,30 @@ def media_feature_vectors(spark: SparkSession, sf: str) -> DataFrame:
 
         from ..kernels import render
         from ..kernels.ocr import Recognizer, _runs, otsu_stats
+        from ..operators.memo import RefMemo
 
-        memo: dict[str, list] = {}
+        def compute(ref, data):
+            img = render.decode_image(bytes(data))
+            thresh, _ = otsu_stats(img)
+            mask = img <= thresh
+            vec = np.zeros(35, dtype=np.float32)
+            lines = _runs(mask.any(axis=1))
+            if lines:
+                line = mask[lines[0][0] : lines[0][1]]
+                cols = _runs(line.any(axis=0))
+                if cols:
+                    vec = Recognizer._pool(
+                        line[:, cols[0][0] : cols[0][1]].astype(np.float32)
+                    ).ravel()
+            return [float(v) for v in vec]
+
+        memo = RefMemo(compute)
         for pdf in batches:
             rows = []
             for doc_id, offset, ref, data in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
             ):
-                feat = memo.get(ref)
-                if feat is None:
-                    img = render.decode_image(bytes(data))
-                    thresh, _ = otsu_stats(img)
-                    mask = img <= thresh
-                    vec = np.zeros(35, dtype=np.float32)
-                    lines = _runs(mask.any(axis=1))
-                    if lines:
-                        line = mask[lines[0][0] : lines[0][1]]
-                        cols = _runs(line.any(axis=0))
-                        if cols:
-                            vec = Recognizer._pool(
-                                line[:, cols[0][0] : cols[0][1]].astype(np.float32)
-                            ).ravel()
-                    feat = [float(v) for v in vec]
-                    if len(memo) > 65536:
-                        memo.clear()
-                    memo[ref] = feat
-                rows.append((doc_id, int(offset), feat))
+                rows.append((doc_id, int(offset), memo.get(ref, data)))
             yield pd.DataFrame(rows, columns=["doc_id", "offset", "feature"])
 
     return src.mapInPandas(feats, "doc_id string, offset int, feature array<float>")
