@@ -346,36 +346,40 @@ COS_THRESHOLD = 0.2  # with label×bucket blocking, 0.2 keeps ~71 pairs at
 # vacuously on 0 rows); production near-dup sweeps would sit at 0.9+ on
 # real embeddings
 
-COS_BLOCK_BITS = 4  # sign bits of the coarse ANN bucket used for blocking
-# (coarser than ann_lsh's 8 — fewer bits = higher recall within the block)
+COS_BLOCK_BITS = 4  # minimum sign-bit width of the blocking bucket; the
+# ACTUAL width is occupancy-bounded (blocking.py): bits grow with
+# log2(n / TARGET_OCCUPANCY), so this floor binds only on small corpora
+# (sf0.01 resolves to exactly 4 — the r3-era key)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by embedding cosine >= COS_THRESHOLD within the same
-    (label, coarse ANN bucket) block.
+    (label, ANN sign-bucket) block.
 
-    Blocking (r2 blocked on label alone — block-quadratic in label
-    frequency, the one shape that cannot run at 100×): the equi-join key
-    is label × a COS_BLOCK_BITS-bit sign-bucket (similarity._bucket_col,
-    the same family ann_lsh joins on), so the within-block population is
-    bounded by bucket occupancy, not label frequency. Recall trade, stated:
+    Blocking history: r2 blocked on label alone (block-quadratic in label
+    frequency); r3 on label × a FIXED 4-bit sign bucket (bounded by bucket
+    occupancy — but occupancy itself grew linearly with n, leaving the
+    within-block term Θ(n²/16)); r4 blocks on label × an
+    OCCUPANCY-BOUNDED bucket (blocking.py): the bit-width scales with
+    log2(n / TARGET_OCCUPANCY), so expected block population stays ~32 at
+    ANY corpus size and total scoring work is O(n x occupancy) — linear in
+    n. The label factor only shrinks blocks further. Recall trade, stated:
     a near-dup pair straddling a sign hyperplane is missed — per-hyperplane
     collision probability is 1 − θ/π (for cos=0.9, θ≈0.45 rad → ~0.86 per
-    bit, ~0.54 over 4 bits on random rotations); multi-probe or a second
-    rotated bucket table recovers the tail, exactly as in ANN practice.
+    bit); `knn_self_join` shows the multi-probe recovery for the tail, and
+    a second rotated bucket table is the standard production answer.
 
     The vector NORM is precomputed per row BEFORE the join — per pair only
     the cross dot product remains (one higher-order fold instead of three;
     same floats, same results: sqrt(dot(a,a)) is factored, not
     approximated).
     """
-    from .similarity import _bucket_col
+    from .blocking import with_occupancy_bucket
 
-    emb = t(spark, sf, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("e"),
-        _bucket_col(F.col("embedding"), COS_BLOCK_BITS).alias("bk"),
+    emb = with_occupancy_bucket(
+        t(spark, sf, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
     )
     emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     a, b = emb.alias("a"), emb.alias("b")
@@ -396,16 +400,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_DUCK_COS_BUCKET = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(COS_BLOCK_BITS)
-)
+from .blocking import duck_adaptive_bucket_expr, duck_bits_cte  # noqa: E402
 
 DEDUP_EMB_COS_SQL = f"""
-WITH e AS (
+WITH {duck_bits_cte("embeddings")},
+e AS (
   SELECT vec_id, label, bk, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-  FROM (SELECT vec_id, label, CAST({_DUCK_COS_BUCKET} AS BIGINT) AS bk,
-               CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+  FROM (SELECT vec_id, label, {duck_adaptive_bucket_expr("emb2", "b")} AS bk,
+               emb2 AS emb
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb2, nb.b AS b
+              FROM embeddings, nb))
 )
 SELECT vec_a, vec_b, cos3 FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -24,6 +24,8 @@ SINGLE_PARTITION_OK = {
     "nchars_quantiles": "per-lang exact percentiles (n_lang rows)",
     "w1_global_sort": "100-row exchange above TakeOrderedAndProject",
     "bm25_search": "20-row exchange above TakeOrderedAndProject (w1 pattern)",
+    "knn_self_join": "1-row global COUNT aggregate (occupancy bit-width, blocking.py)",
+    "dedup_embedding_cosine": "1-row global COUNT aggregate (occupancy bit-width)",
 }
 
 # Queries allowed a BroadcastNestedLoopJoin — all with a tiny pinned build
@@ -34,6 +36,8 @@ BNLJ_OK = {
     "ann_ivf_topk": "BuildLeft: 16 centroid rows broadcast for cell assignment",
     "ann_ivf_multiprobe": "BuildLeft: the same 16-centroid broadcast assignment",
     "kmeans_2iter": "K=8 centroid rows broadcast per assignment pass (IVF pattern)",
+    "knn_self_join": "1-row corpus-count broadcast (occupancy bit-width, blocking.py)",
+    "dedup_embedding_cosine": "1-row corpus-count broadcast (occupancy bit-width)",
 }
 
 
