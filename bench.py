@@ -38,6 +38,15 @@ HEADLINE = [
     "ann_ivf_topk",
     "token_count",
     "doc_fingerprint",
+    # r4 additions (VERDICT r3 ask #7): the r3 heavyweights, so regressions
+    # in the new layer surface in BENCH deltas, not just the --all audit.
+    # r3 baselines (sf0.1 audit/isolated): pagerank 1.44 s, kmeans 2.28 s,
+    # bm25 1.27 s, knn 5.37 s (pre-occupancy-blocking), gopher 0.91 s.
+    "pagerank_2iter",
+    "kmeans_2iter",
+    "bm25_search",
+    "knn_self_join",
+    "quality_gopher_rules",
 ]
 
 

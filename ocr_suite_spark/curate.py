@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from . import tableio
 from .queries.common import t
 from .queries.curation import (
+    DECON_MIN_SHARED,
+    MAX_DUP_BIGRAM_FRAC,
+    MAX_TOP_TOK_FRAC,
     decontaminate,
     pack_bins,
     quality_gopher_rules,
@@ -41,11 +44,95 @@ from .queries.curation import (
 from .queries.dedup import dedup_keep_canonical
 from .queries.sampling import sample_mixture
 
-# default thresholds (tuned to be non-trivial on the synthetic corpus;
-# production values come from corpus profiling — nchars_quantiles etc.)
-DECON_MIN_SHARED = 3  # drop train docs sharing >= this many eval shingles
-MAX_TOP_TOK_FRAC = 0.12  # Gopher-style repetition ceilings
-MAX_DUP_BIGRAM_FRAC = 0.08
+
+def survivor_stages(
+    spark: SparkSession,
+    sf: str,
+    decon_min_shared: int = DECON_MIN_SHARED,
+    max_top_tok: float = MAX_TOP_TOK_FRAC,
+    max_dup_bigram: float = MAX_DUP_BIGRAM_FRAC,
+    checkpoint: bool = True,
+) -> list[tuple[str, DataFrame]]:
+    """The doc-level funnel as an ordered (stage name, survivor relation)
+    list — shared by `curate` (which counts/writes each boundary) and the
+    driver-graded `curate_funnel_stages` query (which grades the counts).
+
+    With checkpoint=True each boundary is materialized once
+    (localCheckpoint): every stage feeds at least two consumers — the next
+    stage and a count/aggregate — and Spark shares no common subplans, so
+    the funnel would otherwise re-execute the whole upstream chain per
+    consumer; same discipline as decontaminate / dedup_clusters use
+    internally.
+    """
+    from .queries.curation import EVAL_THRESHOLD
+    from .queries.sampling import _hash_key
+
+    docs = t(spark, sf, "documents")
+    stages: list[tuple[str, DataFrame]] = [
+        ("input", docs.select("doc_id", "lang", "source"))
+    ]
+
+    def push(name: str, df: DataFrame) -> DataFrame:
+        if checkpoint:
+            df = df.localCheckpoint(eager=True)
+        stages.append((name, df))
+        return df
+
+    # 1. near-dup removal — keep each cluster's canonical doc
+    s = push(
+        "after_dedup", dedup_keep_canonical(spark, sf).select("doc_id", "lang", "source")
+    )
+
+    # 2. remove the held-out eval slice ITSELF from the training corpus:
+    # decontaminate() only flags train docs sharing eval shingles — the
+    # eval docs would otherwise sail through every anti-join and be
+    # trained on, contaminating the eval by construction
+    s = push("after_holdout", s.where(~(_hash_key(F.col("doc_id")) < EVAL_THRESHOLD)))
+
+    # 3. eval-set decontamination — threshold on shared-shingle count
+    contaminated = (
+        decontaminate(spark, sf)
+        .where(F.col("n_shared_shingles") >= decon_min_shared)
+        .select("doc_id")
+    )
+    s = push("after_decontaminate", s.join(contaminated, "doc_id", "left_anti"))
+
+    # 4. repetition-quality filter
+    bad_quality = (
+        quality_repetition(spark, sf)
+        .where(
+            (F.col("top_tok_frac") > max_top_tok)
+            | (F.col("dup_bigram_frac") > max_dup_bigram)
+        )
+        .select("doc_id")
+    )
+    s = push("after_quality", s.join(bad_quality, "doc_id", "left_anti"))
+
+    # 4b. Gopher document-quality rules (word-count / word-length / alpha /
+    # stopword bounds) — keep-side semi-join, the second public ruleset
+    gopher_keep = quality_gopher_rules(spark, sf).where(F.col("keep")).select("doc_id")
+    s = push("after_gopher", s.join(gopher_keep, "doc_id", "left_semi"))
+
+    # 5. deterministic mixture sampling toward target source proportions
+    mixed = sample_mixture(spark, sf).select("doc_id")
+    push("after_mixture", s.join(mixed, "doc_id", "left_semi"))
+    return stages
+
+
+def released_docs(spark: SparkSession, sf: str, survivors: DataFrame) -> DataFrame:
+    """PII redaction over the survivors — a transform, not a filter: the
+    survivor set is unchanged, the released text is the scrubbed form
+    (row-local map; adds zero shuffle to the funnel)."""
+    from .queries.curation import scrub_match_count, scrub_text
+
+    docs = t(spark, sf, "documents")
+    return docs.join(survivors.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        scrub_text(F.col("text")).alias("text"),
+        F.col("n_chars"),
+        scrub_match_count(F.col("text")).alias("n_redactions"),
+    )
 
 
 def curate(
@@ -62,86 +149,15 @@ def curate(
     source) and `<out_dir>/packed` (source, bin_id, n_docs, n_chars,
     first_doc) as managed tables via tableio.
     """
-    docs = t(spark, sf, "documents")
-    stages: dict[str, int] = {"input": docs.count()}
-
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        # materialize each stage boundary once: the count() below plus
-        # every later stage / the pack / the writes would otherwise
-        # re-execute the whole upstream chain per consumer (Spark shares
-        # no common subplans) — same localCheckpoint discipline as
-        # decontaminate / dedup_clusters use internally
-        df = df.localCheckpoint(eager=True)
-        stages[name] = df.count()
-        return df
-
-    # 1. near-dup removal — keep each cluster's canonical doc
-    survivors = _stage(
-        dedup_keep_canonical(spark, sf).select("doc_id", "lang", "source"),
-        "after_dedup",
+    chain = survivor_stages(
+        spark, sf, decon_min_shared, max_top_tok, max_dup_bigram, checkpoint=True
     )
+    stages: dict[str, int] = {name: df.count() for name, df in chain}
+    survivors = chain[-1][1]
 
-    # 2. remove the held-out eval slice ITSELF from the training corpus:
-    # decontaminate() only flags train docs sharing eval shingles — the
-    # eval docs would otherwise sail through every anti-join and be
-    # trained on, contaminating the eval by construction
-    from .queries.curation import EVAL_THRESHOLD
-    from .queries.sampling import _hash_key
-
-    survivors = _stage(
-        survivors.where(~(_hash_key(F.col("doc_id")) < EVAL_THRESHOLD)),
-        "after_holdout",
-    )
-
-    # 3. eval-set decontamination — threshold on shared-shingle count
-    contaminated = (
-        decontaminate(spark, sf)
-        .where(F.col("n_shared_shingles") >= decon_min_shared)
-        .select("doc_id")
-    )
-    survivors = _stage(
-        survivors.join(contaminated, "doc_id", "left_anti"), "after_decontaminate"
-    )
-
-    # 4. repetition-quality filter
-    bad_quality = (
-        quality_repetition(spark, sf)
-        .where(
-            (F.col("top_tok_frac") > max_top_tok)
-            | (F.col("dup_bigram_frac") > max_dup_bigram)
-        )
-        .select("doc_id")
-    )
-    survivors = _stage(
-        survivors.join(bad_quality, "doc_id", "left_anti"), "after_quality"
-    )
-
-    # 4b. Gopher document-quality rules (word-count / word-length / alpha /
-    # stopword bounds) — keep-side semi-join, the second public ruleset
-    gopher_keep = (
-        quality_gopher_rules(spark, sf).where(F.col("keep")).select("doc_id")
-    )
-    survivors = _stage(
-        survivors.join(gopher_keep, "doc_id", "left_semi"), "after_gopher"
-    )
-
-    # 5. deterministic mixture sampling toward target source proportions
-    mixed = sample_mixture(spark, sf).select("doc_id")
-    survivors = _stage(survivors.join(mixed, "doc_id", "left_semi"), "after_mixture")
-
-    # 6. PII redaction over the survivors — a transform, not a filter:
-    # the survivor set is unchanged, the released text is the scrubbed
-    # form (row-local map; adds zero shuffle to the funnel). The count
-    # recorded is how many surviving docs carried any redaction.
-    from .queries.curation import scrub_match_count, scrub_text
-
-    released = docs.join(survivors.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id",
-        "source",
-        scrub_text(F.col("text")).alias("text"),
-        F.col("n_chars"),
-        scrub_match_count(F.col("text")).alias("n_redactions"),
-    )
+    # 6. PII redaction (transform); the count recorded is how many
+    # surviving docs carried any redaction
+    released = released_docs(spark, sf, survivors)
     stages["redacted_docs"] = released.where(F.col("n_redactions") > 0).count()
 
     # 7. pack the surviving corpus into training-sequence bins

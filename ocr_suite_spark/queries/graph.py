@@ -56,8 +56,12 @@ _MAPS = [
 ]
 
 
-def _edges(docs: DataFrame, n_docs: int) -> DataFrame:
-    u = F.col("doc_id").cast("long")
+def _target_array(u, n_docs: int):
+    """The 2-3 quasi-random link targets of node `u` as a Column expr —
+    the single source of truth for the synthesized graph. `_edges`,
+    `html_outlinks` and (via `_duck_targets`) every SQL mirror derive from
+    this one definition, so an edit here cannot silently diverge them
+    (ADVICE r3: html_outlinks used to re-derive the maps inline)."""
 
     def tgt(p1, p2, a, b):
         return ((u % p1) * (u % p2) + a * u + b) % n_docs
@@ -67,8 +71,30 @@ def _edges(docs: DataFrame, n_docs: int) -> DataFrame:
         tgt(*_MAPS[1]),
         F.when(u % 2 == 0, tgt(*_MAPS[2])),
     )
-    targets = F.array_distinct(F.filter(raw, lambda x: x.isNotNull()))
-    return docs.select(u.alias("src"), F.explode(targets).alias("dst"))
+    return F.array_distinct(F.filter(raw, lambda x: x.isNotNull()))
+
+
+def _duck_targets(id_sql: str = "id", n_sql: str = "n") -> str:
+    """DuckDB fragment for the same target list (shared by PAGERANK_SQL,
+    OUTLINKS_SQL and _duck_edge_list)."""
+    def tgt(p1, p2, a, b):
+        return (
+            f"(({id_sql} % {p1}) * ({id_sql} % {p2})"
+            f" + {a} * {id_sql} + {b}) % {n_sql}"
+        )
+
+    return (
+        "list_distinct(list_filter(["
+        f"\n      {tgt(*_MAPS[0])},"
+        f"\n      {tgt(*_MAPS[1])},"
+        f"\n      CASE WHEN {id_sql} % 2 = 0 THEN\n        {tgt(*_MAPS[2])}\n      ELSE NULL END"
+        "\n    ], x -> x IS NOT NULL))"
+    )
+
+
+def _edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    u = F.col("doc_id").cast("long")
+    return docs.select(u.alias("src"), F.explode(_target_array(u, n_docs)).alias("dst"))
 
 
 def pagerank_2iter(spark: SparkSession, sf: str) -> DataFrame:
@@ -87,6 +113,9 @@ def pagerank_2iter(spark: SparkSession, sf: str) -> DataFrame:
             .join(deg, "src")
             .select(
                 F.col("dst").alias("to_id"),
+                # Spark DIV truncates toward zero, DuckDB // floors; they
+                # agree here because rank and deg are nonnegative by
+                # construction (same pitfall note as clustering.py)
                 F.expr(f"({_D_NUM} * rank) DIV ({_D_DEN} * deg)").alias("c"),
             )
         )
@@ -115,13 +144,7 @@ WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
 nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
 edges AS (
   SELECT id AS src,
-         unnest(list_distinct(list_filter([
-           ((id % {_MAPS[0][0]}) * (id % {_MAPS[0][1]}) + {_MAPS[0][2]} * id + {_MAPS[0][3]}) % n,
-           ((id % {_MAPS[1][0]}) * (id % {_MAPS[1][1]}) + {_MAPS[1][2]} * id + {_MAPS[1][3]}) % n,
-           CASE WHEN id % 2 = 0 THEN
-             ((id % {_MAPS[2][0]}) * (id % {_MAPS[2][1]}) + {_MAPS[2][2]} * id + {_MAPS[2][3]}) % n
-           ELSE NULL END
-         ], x -> x IS NOT NULL))) AS dst
+         unnest({_duck_targets()}) AS dst
   FROM nodes CROSS JOIN nn
 ),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
@@ -175,21 +198,8 @@ def html_outlinks(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").select("doc_id", "source")
     n_docs = docs.count()  # scalar literal (same as pagerank_2iter)
     u = F.col("doc_id").cast("long")
-
-    def tgt(p1, p2, a, b):
-        return ((u % p1) * (u % p2) + a * u + b) % n_docs
-
     anchors = F.transform(
-        F.array_distinct(
-            F.filter(
-                F.array(
-                    tgt(*_MAPS[0]),
-                    tgt(*_MAPS[1]),
-                    F.when(u % 2 == 0, tgt(*_MAPS[2])),
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ),
+        _target_array(u, n_docs),  # shared derivation — see _target_array
         lambda d: F.concat(
             F.lit('<a href="doc://'), d.cast("string"), F.lit('">link</a>')
         ),
@@ -219,13 +229,8 @@ ids AS (SELECT CAST(doc_id AS BIGINT) AS id, source FROM documents),
 pages AS (
   SELECT id, source,
     '<html><body><a href="https://' || source || '.example.com/">home</a><p>' ||
-    array_to_string(list_transform(list_distinct(list_filter([
-      ((id % {_MAPS[0][0]}) * (id % {_MAPS[0][1]}) + {_MAPS[0][2]} * id + {_MAPS[0][3]}) % n,
-      ((id % {_MAPS[1][0]}) * (id % {_MAPS[1][1]}) + {_MAPS[1][2]} * id + {_MAPS[1][3]}) % n,
-      CASE WHEN id % 2 = 0 THEN
-        ((id % {_MAPS[2][0]}) * (id % {_MAPS[2][1]}) + {_MAPS[2][2]} * id + {_MAPS[2][3]}) % n
-      ELSE NULL END
-    ], x -> x IS NOT NULL)), d -> '<a href="doc://' || d || '">link</a>'), ' ') ||
+    array_to_string(list_transform({_duck_targets()},
+      d -> '<a href="doc://' || d || '">link</a>'), ' ') ||
     '</p></body></html>' AS html
   FROM ids CROSS JOIN nn
 )
@@ -244,8 +249,13 @@ FROM pages
 # nothing that matters: each normalization divides ALL scores by one
 # global constant, so after any fixed number of iterations the
 # unnormalized scores are the normalized ones times a known scalar —
-# identical ranking, exact cross-engine equality. Growth is bounded by
-# (max degree)^iters ≈ 3^4 here, nowhere near int64.
+# identical ranking, exact cross-engine equality. int64 safety, stated in
+# terms of IN-degree (the authority update sums over in-edges and the
+# synthesized graph is deliberately in-degree-skewed, so out-degree ≤ 3
+# alone does not bound it): with Din = max in-degree, a1 ≤ Din,
+# h1 ≤ 3·Din, a2 ≤ Din·3·Din = 3·Din², h2 ≤ 9·Din². The 3-map synthesis
+# keeps Din near-logarithmic in N; even a pathological Din = 10^6 gives
+# 9·10^12, nowhere near int64.
 #
 # Scale shape: identical to pagerank_2iter — per half-iteration one
 # edges⋈scores equi-join and one groupBy on the opposite endpoint.
@@ -287,13 +297,7 @@ def hits_2iter(spark: SparkSession, sf: str) -> DataFrame:
 def _duck_edge_list() -> str:
     return f"""
   SELECT id AS src,
-         unnest(list_distinct(list_filter([
-           ((id % {_MAPS[0][0]}) * (id % {_MAPS[0][1]}) + {_MAPS[0][2]} * id + {_MAPS[0][3]}) % n,
-           ((id % {_MAPS[1][0]}) * (id % {_MAPS[1][1]}) + {_MAPS[1][2]} * id + {_MAPS[1][3]}) % n,
-           CASE WHEN id % 2 = 0 THEN
-             ((id % {_MAPS[2][0]}) * (id % {_MAPS[2][1]}) + {_MAPS[2][2]} * id + {_MAPS[2][3]}) % n
-           ELSE NULL END
-         ], x -> x IS NOT NULL))) AS dst
+         unnest({_duck_targets()}) AS dst
   FROM nodes CROSS JOIN nn"""
 
 

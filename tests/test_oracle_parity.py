@@ -77,54 +77,33 @@ def test_every_query_has_an_oracle():
 
 
 # Queries allowed to sit past the driver's 50-entry grading prefix: fully
-# green in CORRECTNESS_r02.json (rows+schema+hash) and semantically frozen
-# since that run — r02 is their standing proof (COVERAGE.md). Anything NOT
-# on this list must stay inside the prefix so it gets a driver row.
-R02_PROVEN_FROZEN = {
-    "s13_json_line", "s14_csv_line", "s15_json_parse",
-    "q1_pricing_summary", "q3_top_revenue", "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "ann_topk_bruteforce", "ann_lsh_histogram", "ann_lsh_topk", "ann_ivf_topk",
-    "lang_id_ngram", "quality_score", "token_count", "doc_fingerprint",
-    "p6_word_split_pos", "p7_coord_normalize", "p8_confidence_scale",
-    "p10_filename_ts", "j4_point_lookup", "a8_progress_pct",
-    "p23_normalize", "p9_frame_time", "p12_date_format",
-    # pushed past 50 when pdf_layout_parse entered the prefix; body
-    # unchanged since a42e6eb (r2 verdict) — r02 row stands
-    "o3_top1_per_group",
-    # pushed past 50 when the temporal module entered the prefix; bodies
-    # unchanged since a42e6eb (relational.py diff touches only o1) —
-    # r02 rows stand
-    "w3_running_max", "w4_lead_lag",
-    "a5_group_collect_ordered", "a6_match_count",
-    # pushed past 50 by quality_c4_rules + dedup_url_canonical; bodies
-    # unchanged since a42e6eb — r02 rows stand
-    "a1_watermark_max", "a3_resume_antijoin",
-    # pushed past 50 by dom_text_density; body unchanged since a42e6eb —
-    # r02 row stands
-    "j3_pair_by_key",
-    # pushed past 50 by pagerank_2iter; body unchanged since a42e6eb —
-    # r02 row stands
-    "j1_dict_like_join",
-    # pushed past 50 by html_outlinks; body unchanged since its r02 row
-    # (r3 relational.py diff touched only o1)
-    "w1_global_sort",
-    # pushed past 50 by kmeans_2iter; body unchanged since a42e6eb —
-    # r02 row stands
-    "w2_time_rollup",
-    # pushed past 50 by quality_gopher_rules; body unchanged since
-    # a42e6eb — r02 row stands
-    "p11_relative_time",
-    # pushed past 50 by hits_2iter; body unchanged since a42e6eb —
-    # r02 row stands
-    "w2_tree_rollup",
+# green in CORRECTNESS_r03.json (rows+schema+hash) and semantically frozen
+# since the r3 verdict commit (8863fb4) — r03 is their standing proof
+# (COVERAGE.md records per-query rounds). Anything NOT on this list must
+# stay inside the prefix so it gets a driver row. The r2-frozen list that
+# lived here through r3 is EMPTY as of r4: all 37 of its members were
+# rotated back into the r4 grading prefix (VERDICT r3 ask #1).
+R03_PROVEN_FROZEN = {
+    "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
+    "bm25_search", "pagerank_2iter", "html_outlinks", "kmeans_2iter",
+    "hits_2iter", "media_frame_sample", "sample_hash_fraction",
+    "sample_stratified", "nchars_quantiles", "sample_mixture",
+    "epoch_shuffle", "source_divergence", "quality_repetition",
+    "pii_scrub", "chunk_windows", "quality_c4_rules",
+    "quality_gopher_rules", "html_main_content", "pdf_layout_parse",
+    "dom_text_density", "asof_join_prior_view", "sessionize_gap",
+    "range_join_nearby", "rolling_range_1d", "dedup_exact",
+    "dedup_url_canonical", "dedup_keep_canonical",
+    "dedup_minhash_signature", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_passages", "dedup_clusters",
+    "j2_hash_id_mint", "o1_size_ranked_assign", "o1_lpt_assign",
 }
 
 
 def test_grading_prefix_covers_unproven_queries():
     """The driver grades exactly the first 50 registry entries. Every query
-    that is new or changed (i.e. not on the frozen r02-proven list) must
+    that is new or changed (i.e. not on the frozen r03-proven list) must
     sit inside that prefix, or it ships without any driver row."""
     names = list(REGISTRY)
-    ungraded = [n for n in names[50:] if n not in R02_PROVEN_FROZEN]
+    ungraded = [n for n in names[50:] if n not in R03_PROVEN_FROZEN]
     assert ungraded == [], f"queries past the grading prefix without prior proof: {ungraded}"

@@ -11,7 +11,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from ocr_suite_spark.queries.curation import PACK_CAP, pack_bins
+from ocr_suite_spark.queries.curation import PACK_CAP, PACK_TOK_CAP, pack_bins
 
 DOCS_SCHEMA = "source string, doc_id long, n_chars long"
 
@@ -80,6 +80,46 @@ def _corpus(draw):
 @given(rows=_corpus())
 def test_pack_bins_matches_sequential_definition(spark, rows):
     assert _spark_bins(spark, rows) == _reference_bins(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_corpus())
+def test_pack_bins_token_budget_matches_sequential_definition(spark, rows):
+    """The generalized (size_col, cap) form used by pack_sequences_tokens:
+    same prefix-sum machinery, token budget instead of chars."""
+    cap = PACK_TOK_CAP
+    rows_tok = [(s_, d, n % (3 * cap)) for s_, d, n in rows]
+    df = pd.DataFrame(rows_tok, columns=["source", "doc_id", "n_tokens"])
+    out = []
+    for src, g in df.groupby("source"):
+        run = 0
+        for _, r in g.sort_values("doc_id").iterrows():
+            out.append((src, int(r["doc_id"]), int(r["n_tokens"]), run // cap))
+            run += int(r["n_tokens"])
+    ref = pd.DataFrame(out, columns=["source", "doc_id", "n_tokens", "bin_id"])
+    agg = (
+        ref.groupby(["source", "bin_id"])
+        .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"),
+             first_doc=("doc_id", "min"))
+        .reset_index()
+    )
+    want = {
+        (r.source, int(r.bin_id), int(r.n_docs), int(r.n_tokens), int(r.first_doc))
+        for r in agg.itertuples(index=False)
+    }
+    got = pack_bins(
+        spark.createDataFrame(rows_tok, "source string, doc_id long, n_tokens long"),
+        size_col="n_tokens", cap=cap,
+    ).collect()
+    got = {
+        (r["source"], int(r["bin_id"]), int(r["n_docs"]), int(r["n_tokens"]), int(r["first_doc"]))
+        for r in got
+    }
+    assert got == want
 
 
 @pytest.mark.parametrize(

@@ -144,3 +144,31 @@ def test_gopher_rules_match_python_oracle(spark, docs_tokens):
         dropped += not keep
     # the thresholds must actually discriminate on this corpus
     assert kept > 100 and dropped > 10
+
+
+def test_decontaminate_bloom_path_identical(spark):
+    """The large-scale Bloom-broadcast path (r3 VERDICT ask #6) must be
+    output-identical to the exact small-SF form: the Bloom has no false
+    negatives, false positives die in the exact semi-join, and the
+    hot-shingle DF decides identically on the matched stream. The bloom
+    prefilter is Arrow-batched (never row-Python) and only the matched
+    stream is distinct-ed/materialized."""
+    from ocr_suite_spark.queries.curation import _decon_matched_bloom, decontaminate
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        small = {
+            (r["doc_id"], r["n_shared_shingles"])
+            for r in decontaminate(spark, sf, large_scale=False).collect()
+        }
+        large = {
+            (r["doc_id"], r["n_shared_shingles"])
+            for r in decontaminate(spark, sf, large_scale=True).collect()
+        }
+        assert small == large, sf
+    plan = (
+        _decon_matched_bloom(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

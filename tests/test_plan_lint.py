@@ -26,6 +26,8 @@ SINGLE_PARTITION_OK = {
     "bm25_search": "20-row exchange above TakeOrderedAndProject (w1 pattern)",
     "knn_self_join": "1-row global COUNT aggregate (occupancy bit-width, blocking.py)",
     "dedup_embedding_cosine": "1-row global COUNT aggregate (occupancy bit-width)",
+    "curate_funnel_stages": "per-stage 1-row COUNT aggregates (the funnel's "
+    "job summary; stage relations are checkpointed, never corpus-wide here)",
 }
 
 # Queries allowed a BroadcastNestedLoopJoin — all with a tiny pinned build
