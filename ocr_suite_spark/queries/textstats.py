@@ -420,8 +420,61 @@ SELECT doc_id, n_terms, score3, rnk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting — the inner statistic of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016): count adjacent symbol pairs
+# across the corpus and rank them (training repeatedly merges the top
+# pair; one exact counting pass is the distributed-expensive step, the
+# merge loop is driver-side over the tiny vocab). An adjacent character
+# pair IS the length-2 substring at each position, so the pair stream is
+# a row-local transform + explode — no UDF.
+#
+# Scale: explode(tokens) → explode(2-grams) → one map-side-combined
+# groupBy(pair) → global top-K via TakeOrdered (the w1/bm25 pattern:
+# nothing corpus-global except K rows).
+
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top BPE_TOP_K adjacent character pairs over the corpus token
+    stream, ranked by (count desc, pair) — a total order, so the cut is
+    deterministic."""
+    docs = t(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH tok AS (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                i -> substring(tok, i, 2))) AS pair
+  FROM tok
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
+    "bpe_pair_counts": (bpe_pair_counts, BPE_PAIRS_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

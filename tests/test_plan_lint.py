@@ -28,6 +28,7 @@ SINGLE_PARTITION_OK = {
     "dedup_embedding_cosine": "1-row global COUNT aggregate (occupancy bit-width)",
     "curate_funnel_stages": "per-stage 1-row COUNT aggregates (the funnel's "
     "job summary; stage relations are checkpointed, never corpus-wide here)",
+    "bpe_pair_counts": "50-row exchange above TakeOrderedAndProject (w1 pattern)",
 }
 
 # Queries allowed a BroadcastNestedLoopJoin — all with a tiny pinned build
@@ -38,6 +39,7 @@ BNLJ_OK = {
     "ann_ivf_topk": "BuildLeft: 16 centroid rows broadcast for cell assignment",
     "ann_ivf_multiprobe": "BuildLeft: the same 16-centroid broadcast assignment",
     "kmeans_2iter": "K=8 centroid rows broadcast per assignment pass (IVF pattern)",
+    "dedup_semdedup": "inherits kmeans_2iter's K=8 centroid broadcasts",
     "knn_self_join": "1-row corpus-count broadcast (occupancy bit-width, blocking.py)",
     "dedup_embedding_cosine": "1-row corpus-count broadcast (occupancy bit-width)",
 }
