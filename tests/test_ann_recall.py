@@ -129,3 +129,29 @@ def test_occupancy_bits_integer_thresholds(spark):
             .collect()[0]["b"]
         )
         assert got == want, (n, got, want)
+
+
+def test_adaptive_bucket_matches_fixed_bucket_at_same_width(spark):
+    """blocking.adaptive_bucket_col with a constant width must equal
+    similarity._bucket_col at that width — the adaptive key is the fixed
+    key's strict generalization (this is what froze sf0.01 outputs across
+    the r3→r4 blocking change)."""
+    import pyspark.sql.functions as F
+
+    from ocr_suite_spark.queries.blocking import adaptive_bucket_col
+    from ocr_suite_spark.queries.common import t
+    from ocr_suite_spark.queries.similarity import _bucket_col
+
+    emb = t(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    for bits in (4, 8):
+        mism = (
+            emb.select(
+                (adaptive_bucket_col(F.col("e"), F.lit(bits))
+                 != _bucket_col(F.col("e"), bits)).alias("d")
+            )
+            .where(F.col("d"))
+            .count()
+        )
+        assert mism == 0, bits
