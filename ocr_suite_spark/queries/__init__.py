@@ -61,6 +61,8 @@ _PRIORITY: list[str] = [
     "pack_sequences_tokens",
     "dedup_semdedup",
     "bpe_pair_counts",
+    "corpus_stats_rollup",
+    "corpus_snapshot_diff",
     "knn_self_join",
     "dedup_embedding_cosine",
     "decontaminate",
@@ -80,11 +82,12 @@ _PRIORITY: list[str] = [
 # the registry (neither list) is exactly the 37 r2-frozen queries being
 # rotated back through grading this round.
 _DEMOTE: list[str] = [
-    # the two slots the late-r4 operators (dedup_semdedup, bpe_pair_counts)
-    # displaced: trivial scalar projections, bodies untouched since the r2
-    # verdict commit — their r02 rows remain the standing proof (the only
-    # two members of the residual r2-frozen list; VERDICT r3 accepted <=12)
-    "p8_confidence_scale", "p9_frame_time",
+    # the four slots the late-r4 operators (dedup_semdedup, bpe_pair_counts,
+    # corpus_stats_rollup, corpus_snapshot_diff) displaced: trivial scalar/
+    # normalizer projections, bodies untouched since the r2 verdict commit —
+    # their r02 rows remain the standing proof (the residual r2-frozen list;
+    # VERDICT r3 accepted <=12)
+    "p8_confidence_scale", "p9_frame_time", "p12_date_format", "p23_normalize",
     "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
     "bm25_search", "pagerank_2iter", "html_outlinks", "kmeans_2iter",
     "hits_2iter", "media_frame_sample", "sample_hash_fraction",

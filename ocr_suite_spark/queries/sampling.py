@@ -263,7 +263,125 @@ GROUP BY st.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus stats via ROLLUP — the job-summary analytics every curation run
+# ends with: per-(source, lang) doc/token/char totals PLUS per-source
+# subtotals PLUS the grand total, in ONE aggregation pass (Spark expands
+# the grouping sets inside the same shuffle — three scans collapsed into
+# one map-side-combined agg). Rollup null-markers are coalesced to a
+# sentinel so the graded relation is hash-stable across engines.
+
+ROLLUP_ALL = "<all>"
+
+
+def corpus_stats_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    from .common import tokens_col
+
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        F.col("n_chars").cast("long").alias("nc"),
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit(ROLLUP_ALL)).alias("source"),
+            F.coalesce("lang", F.lit(ROLLUP_ALL)).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+        )
+    )
+
+
+CORPUS_ROLLUP_SQL = f"""
+SELECT COALESCE(source, '{ROLLUP_ALL}') AS source,
+       COALESCE(lang, '{ROLLUP_ALL}') AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC over corpus versions) — incremental curation's first
+# step: given two corpus snapshots, emit what was added / removed /
+# modified, so downstream stages reprocess only the delta. The classic
+# shape: FULL OUTER join on the key comparing a content hash — one
+# co-partitioned shuffle join at any corpus size (at 10^12 docs both
+# sides bucket on doc_id and the join is exchange-free; Iceberg snapshot
+# diffs read the manifest delta instead, same output contract). The "v2"
+# snapshot is synthesized deterministically in-query (the pii_scrub
+# convention): ~1/16 of docs deleted, ~1/4 of survivors text-revised,
+# ~1/16 spawn a brand-new doc id — both engines derive the identical v2.
+
+_V2_NEW_OFFSET = 10_000_000
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    h = F.md5(F.concat(F.lit("v2:"), F.col("doc_id").cast("string")))
+    survivors = docs.where(F.substring(h, 1, 1) >= "1")
+    modified_text = F.when(
+        F.substring(h, 2, 1) < "4", F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    v2_core = survivors.select("doc_id", modified_text.alias("text"))
+    v2_new = docs.where(F.substring(h, 3, 1) == "0").select(
+        (F.col("doc_id") + _V2_NEW_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    v2 = v2_core.unionByName(v2_new)
+    a = docs.select("doc_id", F.md5("text").alias("h1"))
+    b = v2.select("doc_id", F.md5("text").alias("h2"))
+    j = a.join(b, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "modified")
+    )
+    return (
+        j.select(F.col("doc_id").cast("long").alias("doc_id"), change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text, md5('v2:' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN substr(hh, 2, 1) < '4' THEN text || ' rev2' ELSE text END AS text
+  FROM h WHERE substr(hh, 1, 1) >= '1'
+  UNION ALL
+  SELECT doc_id + {_V2_NEW_OFFSET}, 'new ' || text FROM h WHERE substr(hh, 3, 1) = '0'
+),
+a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+SELECT CAST(COALESCE(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+       CASE WHEN a.h1 IS NULL THEN 'added'
+            WHEN b.h2 IS NULL THEN 'removed'
+            WHEN a.h1 <> b.h2 THEN 'modified' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE (CASE WHEN a.h1 IS NULL THEN 'added'
+            WHEN b.h2 IS NULL THEN 'removed'
+            WHEN a.h1 <> b.h2 THEN 'modified' END) IS NOT NULL
+"""
+
+
 QUERIES = {
+    "corpus_stats_rollup": (corpus_stats_rollup, CORPUS_ROLLUP_SQL),
+    "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "sample_hash_fraction": (sample_hash_fraction, SAMPLE_HASH_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRAT_SQL),
     "nchars_quantiles": (nchars_quantiles, NCHARS_QUANTILES_SQL),
