@@ -99,3 +99,34 @@ def test_curate_job_cli(d):
     assert summary["input"] == 500
     assert 0 < summary["after_mixture"] < summary["input"]
     assert os.path.exists(f"{d}/cur/survivors") and os.path.exists(f"{d}/cur/packed")
+
+
+def test_extract_job_spark_submit_py_files(d):
+    """The north rule's literal ship vehicle: the engine zipped and run
+    via `spark-submit --py-files` (not `python`) — proves the artifact is
+    self-contained (no repo-cwd imports) and the job completes end-to-end
+    under spark-submit's launcher."""
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    zip_path = f"{d}/ocs.zip"
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", zip_path, "ocr_suite_spark"],
+        cwd=REPO, check=True,
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only import source
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[8]", "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "extract_job.py"),
+            "--input", "/root/testdata/sf0.001",
+            "--output", f"{d}/out", "--checkpoint", f"{d}/ckpt",
+            "--n-buckets", "8", "--bucket-groups", "2",
+            "--report-interval", "0",
+        ],
+        env=env, cwd=d, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    summary = json.loads(
+        [line for line in out.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert summary["docs"] == 500 and summary["buckets_done"] == 8
