@@ -214,3 +214,95 @@ def stream_sessionize(
     return spark.sql(
         f"SELECT user_id, n_events, start_us, end_us, duration_us FROM {name}"
     )
+
+
+def stream_quality_gopher(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Ingest-path quality gate: the Gopher §A1.1 rules (word-count bounds,
+    mean-word-length band, alphabetic fraction, distinct-stopword floor —
+    queries/curation.quality_gopher_rules) as a STATELESS row-local map
+    over a document stream.
+
+    Quality filtering belongs in the ingest path precisely because it
+    needs no state: unlike streaming dedup/sessionization (watermarked
+    state rows), every signal here is a pure function of the row, so the
+    operator is just Column expressions over readStream — infinite
+    throughput scaling, no watermark, no state store. The batch operator
+    computes the same signals via explode + map-side-combined aggregation
+    (the right shape when the signals feed further corpus-level
+    aggregation); this form computes them with array higher-order
+    functions in place. Both produce IDENTICAL values — integer
+    sums/counts then one double division then the same fixed-precision
+    floor — asserted value-level in tests/test_streaming.py.
+
+    Input: parquet files of (doc_id long, text string). Returns the
+    graded rows drained via AvailableNow (smoke path; a resident pipeline
+    would writeStream the keep=1 rows into the corpus table).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..queries.common import floor3, tokens_col
+    from ..queries.curation import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    toks = tokens_col(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x.rlike("[a-zA-Z]"), 1).otherwise(0),
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(GOPHER_STOPWORDS)))
+    ).cast("long")
+    graded = (
+        src.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            floor3(sum_len / n_words).alias("mean_word_len"),
+            floor3(n_alpha / n_words).alias("alpha_frac"),
+            n_stop.alias("n_stop"),
+        )
+        .where(F.col("n_words") > 0)  # zero-token docs yield no row (batch convention)
+        .withColumn(
+            "keep",
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("mean_word_len") >= GOPHER_MIN_MWL)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MWL)
+            & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA)
+            & (F.col("n_stop") >= GOPHER_MIN_STOP),
+        )
+    )
+    name = "stream_quality_out"
+    q = (
+        graded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -160,3 +160,31 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, dirs):
     # append mode must have emitted every closeable session
     assert closeable <= got, closeable - got
     assert len(got) > 0
+
+
+def test_stream_quality_gopher_matches_batch(spark, tmp_path):
+    """The stateless ingest-path quality gate must grade every document
+    identically to the batch quality_gopher_rules operator (explode+agg
+    vs row-local array exprs — same integer sums, same floors)."""
+    from ocr_suite_spark.queries.curation import quality_gopher_rules
+    from ocr_suite_spark.streaming.incremental import stream_quality_gopher
+
+    sf = "/root/testdata/sf0.001"
+    src_dir = str(tmp_path / "docs_in")
+    spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(src_dir)
+
+    got = {
+        (r["doc_id"], r["n_words"], r["mean_word_len"], r["alpha_frac"],
+         r["n_stop"], bool(r["keep"]))
+        for r in stream_quality_gopher(
+            spark, src_dir, str(tmp_path / "ckpt")
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_words"], r["mean_word_len"], r["alpha_frac"],
+         r["n_stop"], bool(r["keep"]))
+        for r in quality_gopher_rules(spark, sf).collect()
+    }
+    assert got == want
