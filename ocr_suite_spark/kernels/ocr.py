@@ -207,27 +207,46 @@ class Recognizer:
         return out
 
     @staticmethod
-    def _downsample_cells(line: np.ndarray, grp: list[tuple[int, int]]) -> np.ndarray:
-        """All char cells of one word at once.
+    def _cell_y_extents(
+        line: np.ndarray, col_runs: list[tuple[int, int]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-char-run tight y-extents for a whole line at once.
 
-        The x-crop is free (column runs are maximal ink runs, so every column
-        already has ink); the y-extent per cell comes from one per-line column
-        cumsum instead of a per-cell ``any``+``flatnonzero`` pair. Output is
-        bit-identical to mapping ``_downsample`` over the cells (~2.5x fewer
-        numpy dispatches on the hot path).
+        Every column inside a run has ink (runs are maximal ink-column
+        runs), so the per-column first/last ink rows come from two bool
+        argmax scans, and per-run extents from one min/max reduceat over
+        the interleaved run boundaries — the odd (gap) segments land on
+        the appended sentinels and are discarded. Replaces the r1-r4
+        per-WORD float32 cumsum (2.5x the memory traffic, repeated for
+        every word on the line); outputs are integer row indices, so
+        bit-exactness of the downstream pooling is trivial (verified on a
+        2000-case sweep + goldens).
         """
         h = line.shape[0]
-        R = np.zeros((h, line.shape[1] + 1), dtype=np.float32)
-        np.cumsum(line, axis=1, dtype=np.float32, out=R[:, 1:])
+        colmin = line.argmax(axis=0)
+        colmax = h - 1 - line[::-1].argmax(axis=0)
+        cm = np.append(colmin, h)  # sentinels: only gap segments reach them
+        cxm = np.append(colmax, -1)
+        bounds = np.asarray(col_runs, dtype=np.int64).ravel()
+        y0s = np.minimum.reduceat(cm, bounds)[::2]
+        y1s = np.maximum.reduceat(cxm, bounds)[::2] + 1
+        return y0s, y1s
+
+    @staticmethod
+    def _downsample_cells(
+        line: np.ndarray,
+        grp: list[tuple[int, int]],
+        y01: tuple[np.ndarray, np.ndarray] | None = None,
+    ) -> np.ndarray:
+        """All char cells of one word at once (x-crop free: column runs
+        are maximal ink runs). y-extents come precomputed per line
+        (``_cell_y_extents``) or are derived here for standalone calls."""
+        y0s, y1s = y01 if y01 is not None else Recognizer._cell_y_extents(line, grp)
         out = np.zeros((len(grp), GLYPH_H, GLYPH_W), dtype=np.float32)
         for k, (a, b) in enumerate(grp):
-            rows = R[:, b] - R[:, a]
-            nz = rows > 0
-            if not nz.any():
-                continue
-            y0 = int(nz.argmax())
-            y1 = h - int(nz[::-1].argmax())
-            out[k] = Recognizer._pool(line[y0:y1, a:b].astype(np.float32))
+            out[k] = Recognizer._pool(
+                line[int(y0s[k]) : int(y1s[k]), a:b].astype(np.float32)
+            )
         return out
 
     def recognize(self, img: np.ndarray) -> list[WordBox]:
@@ -263,23 +282,28 @@ class Recognizer:
             col_runs = _runs(line.any(axis=0))  # connected char components
             if not col_runs:
                 continue
-            # group char runs into words by gap width
-            groups: list[list[tuple[int, int]]] = [[col_runs[0]]]
-            for prev, cur in zip(col_runs, col_runs[1:]):
-                if cur[0] - prev[1] >= _WORD_GAP_MIN:
-                    groups.append([cur])
+            y0s, y1s = self._cell_y_extents(line, col_runs)  # once per LINE
+            # group char runs into words by gap width (indices into col_runs)
+            groups: list[list[int]] = [[0]]
+            for k in range(1, len(col_runs)):
+                if col_runs[k][0] - col_runs[k - 1][1] >= _WORD_GAP_MIN:
+                    groups.append([k])
                 else:
-                    groups[-1].append(cur)
+                    groups[-1].append(k)
             for grp in groups:
-                cells = self._downsample_cells(line, grp)
+                cells = self._downsample_cells(
+                    line,
+                    [col_runs[k] for k in grp],
+                    (y0s[grp[0] : grp[-1] + 1], y1s[grp[0] : grp[-1] + 1]),
+                )
                 chars, scores = self._match_chars(cells)
                 conf = float(np.clip(scores.min(), 0.0, 1.0) * 100.0)
                 words.append(
                     WordBox(
                         text="".join(chars),
-                        left=int(grp[0][0]),
+                        left=int(col_runs[grp[0]][0]),
                         top=int(y0),
-                        right=int(grp[-1][1]),
+                        right=int(col_runs[grp[-1]][1]),
                         bottom=int(y1),
                         confidence=round(conf, 2),
                     )
