@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "bpe_pair_counts",
     "corpus_stats_rollup",
     "corpus_snapshot_diff",
+    "media_audio_meta",
     "knn_self_join",
     "dedup_embedding_cosine",
     "decontaminate",
@@ -82,12 +83,14 @@ _PRIORITY: list[str] = [
 # the registry (neither list) is exactly the 37 r2-frozen queries being
 # rotated back through grading this round.
 _DEMOTE: list[str] = [
-    # the four slots the late-r4 operators (dedup_semdedup, bpe_pair_counts,
-    # corpus_stats_rollup, corpus_snapshot_diff) displaced: trivial scalar/
+    # the five slots the late-r4 operators (dedup_semdedup, bpe_pair_counts,
+    # corpus_stats_rollup, corpus_snapshot_diff, media_audio_meta) displaced:
+    # trivial scalar/
     # normalizer projections, bodies untouched since the r2 verdict commit —
     # their r02 rows remain the standing proof (the residual r2-frozen list;
     # VERDICT r3 accepted <=12)
     "p8_confidence_scale", "p9_frame_time", "p12_date_format", "p23_normalize",
+    "p6_word_split_pos",
     "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
     "bm25_search", "pagerank_2iter", "html_outlinks", "kmeans_2iter",
     "hits_2iter", "media_frame_sample", "sample_hash_fraction",

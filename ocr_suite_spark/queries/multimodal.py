@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from .common import golden_sql
+from .common import golden_sql, t
 
 _FRAME_STRIDE = 2  # keep every 2nd media span per doc (I/P-frame analog)
 
@@ -238,7 +238,114 @@ WHERE frame_idx % {_FRAME_STRIDE} = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio leg of the multimodal layer (the brief names image/AUDIO/video as
+# opaque binary + typed metadata). Payloads are synthetic OCSAUD1 PCM
+# square waves (kernels/audio.py): every sample is ±amplitude, so
+# RMS == amplitude and peak == amplitude EXACTLY, and the sample count/
+# amplitude derive from md5(doc_id) — which lets the DuckDB oracle
+# predict the decoder's output ANALYTICALLY (digit-for-digit md5-hex
+# arithmetic, no bytes) while the Spark side computes it from the real
+# decoded samples inside mapInPandas. A green row therefore value-gates
+# the entire binary round trip: synth → encode → binary column → Arrow
+# batch → decode → numpy meta.
+
+
+def media_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: decoded audio metadata (rate, n_samples, duration_ms,
+    rms, peak, n_bytes) of its synthetic OCSAUD1 clip.
+
+    Scale: two chained mapInPandas (resolve → decode+meta) with zero
+    shuffles — byte payloads never leave the worker that produced them;
+    with a real corpus the resolve stage is the Iceberg binary column /
+    binaryFile scan and the plumbing downstream is identical."""
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import audio
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [audio.resolve_audio(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    src = docs.mapInPandas(resolve, "doc_id long, content binary")
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels import audio
+        from ..operators.memo import RefMemo
+
+        def compute(doc_id, data):
+            rate, s = audio.decode_audio(bytes(data))
+            sq = s.astype(np.int64)
+            n = int(s.size)
+            rms = float(np.sqrt(int((sq * sq).sum()) / n))  # exact: sqrt(a²)=a
+            return (
+                rate,
+                n,
+                n * 1000 // rate,
+                int(round(rms)),
+                int(np.abs(sq).max()),
+                len(data),
+            )
+
+        memo = RefMemo(compute)  # keyed on doc_id — same plumbing as images
+        for pdf in batches:
+            rows = [
+                (int(d), *memo.get(int(d), c))
+                for d, c in zip(pdf["doc_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate", "n_samples", "duration_ms",
+                    "rms", "peak", "n_bytes",
+                ],
+            )
+
+    return src.mapInPandas(
+        meta,
+        "doc_id long, rate int, n_samples long, duration_ms long, "
+        "rms long, peak long, n_bytes long",
+    )
+
+
+def _duck_hex4(start: int) -> str:
+    """md5-hex chars [start, start+4) of doc_id as an integer — the SQL
+    twin of python int(h[a:b], 16), built from ascii digit arithmetic."""
+    def digit(i: int) -> str:
+        c = f"ascii(substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1))"
+        return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
+
+    d1, d2, d3, d4 = (digit(start + k) for k in range(4))
+    return f"((({d1} * 16 + {d2}) * 16 + {d3}) * 16 + {d4})"
+
+
+MEDIA_AUDIO_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         8000 + {_duck_hex4(1)} % 8000 AS n,
+         1000 + {_duck_hex4(5)} % 20000 AS amp
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       16000 AS rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms,
+       CAST(amp AS BIGINT) AS rms,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(12 + 2 * n AS BIGINT) AS n_bytes
+FROM p
+"""
+
+
 QUERIES = {
+    "media_audio_meta": (media_audio_meta, MEDIA_AUDIO_SQL),
     "media_decode_meta": (media_decode_meta, golden_sql("media_decode_meta")),
     "media_resize_meta": (media_resize_meta, golden_sql("media_resize_meta")),
     "media_features": (media_features, golden_sql("media_features")),

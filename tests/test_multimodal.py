@@ -63,3 +63,30 @@ def test_frame_sample_vs_duckdb(spark):
         for t in duckdb.sql(M.MEDIA_FRAME_SAMPLE_SQL).fetchall()
     }
     assert got == want and got
+
+
+def test_audio_kernel_roundtrip():
+    """OCSAUD1 encode/decode roundtrip + the square-wave exactness the
+    analytic oracle relies on (rms == peak == amplitude, duration integer)."""
+    import numpy as np
+
+    from ocr_suite_spark.kernels import audio
+
+    for doc_id in (0, 7, 12345):
+        n, amp = audio.audio_params(doc_id)
+        data = audio.resolve_audio(doc_id)
+        assert len(data) == 12 + 2 * n
+        rate, s = audio.decode_audio(data)
+        assert rate == audio.SAMPLE_RATE and s.size == n
+        assert int(np.abs(s).max()) == amp
+        sq = s.astype(np.int64)
+        assert float(np.sqrt(int((sq * sq).sum()) / n)) == float(amp)
+
+
+def test_audio_decode_rejects_foreign_formats():
+    import pytest as _pytest
+
+    from ocr_suite_spark.kernels import audio
+
+    with _pytest.raises(NotImplementedError):
+        audio.decode_audio(b"RIFF....WAVEfmt ")

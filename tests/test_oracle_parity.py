@@ -101,11 +101,12 @@ R03_PROVEN_FROZEN = {
 
 # Residual r2-frozen queries: displaced from the r4 prefix by the late-r4
 # operators (dedup_semdedup, bpe_pair_counts, corpus_stats_rollup,
-# corpus_snapshot_diff). Trivial scalar/normalizer projections, bodies
+# corpus_snapshot_diff, media_audio_meta). Trivial scalar/normalizer projections, bodies
 # untouched since the r2 verdict commit — CORRECTNESS_r02 remains their
 # proof (VERDICT r3 accepted a residual list of <= 12).
 R02_PROVEN_FROZEN = {
     "p8_confidence_scale", "p9_frame_time", "p12_date_format", "p23_normalize",
+    "p6_word_split_pos",
 }
 
 
