@@ -49,8 +49,9 @@ _MODULES = [
     similarity, textstats, graph, clustering,
 ]
 
-# (a) new/changed in r4 — pulled to the FRONT of the grading order:
-# curate_funnel_stages + pack_sequences_tokens are new; knn_self_join +
+# (a) new/changed in r4 — pulled to the FRONT of the grading order: seven
+# brand-new operators (curate funnel, token packing, SemDeDup, BPE pairs,
+# ROLLUP stats, snapshot diff, audio meta); knn_self_join +
 # dedup_embedding_cosine switched to occupancy-bounded blocking (+ knn
 # multi-probe); decontaminate gained the Bloom path; pack_sequences rides
 # the generalized pack_bins; the extract_* / media_* pipelines sit on the
@@ -84,11 +85,10 @@ _PRIORITY: list[str] = [
 # rotated back through grading this round.
 _DEMOTE: list[str] = [
     # the five slots the late-r4 operators (dedup_semdedup, bpe_pair_counts,
-    # corpus_stats_rollup, corpus_snapshot_diff, media_audio_meta) displaced:
-    # trivial scalar/
-    # normalizer projections, bodies untouched since the r2 verdict commit —
-    # their r02 rows remain the standing proof (the residual r2-frozen list;
-    # VERDICT r3 accepted <=12)
+    # corpus_stats_rollup, corpus_snapshot_diff, media_audio_meta)
+    # displaced: trivial scalar/normalizer projections, bodies untouched
+    # since the r2 verdict commit — their r02 rows remain the standing
+    # proof (the residual r2-frozen list; VERDICT r3 accepted <= 12)
     "p8_confidence_scale", "p9_frame_time", "p12_date_format", "p23_normalize",
     "p6_word_split_pos",
     "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
