@@ -85,16 +85,21 @@ def estimate_skew(
     coordinates, then a row histogram): O(ink_pixels x angles) instead of
     O(image_pixels x angles) — ~10x on real text images, same argmax.
 
-    Dense ink is further subsampled to ~4096 pixels: the profile variance is
+    Dense ink is further subsampled to ~2048 pixels: the profile variance is
     a statistic, and a deterministic every-k stride preserves the argmax
-    (verified exact across the full skew x wordcount x noise sweep).
+    (verified exact across the full skew x wordcount x noise sweep; the
+    4096 -> 2048 bound was re-verified the same way in r5 — 0 argmax moves
+    over ~5,000 rendered cases — and is 1.5x on this function, the r5 kernel
+    fuel BENCH.md names. The attempted +/-angle outer-product sharing was
+    measured at parity — fixed per-row rint/bincount costs dominate at this
+    ink size — and was dropped; see BENCH.md r5).
     """
     h, w = mask.shape
     ys, xs = ink if ink is not None else np.nonzero(mask)
     if ys.size == 0:
         return 0
-    if ys.size > 4096:
-        step = ys.size // 4096 + 1
+    if ys.size > 2048:
+        step = ys.size // 2048 + 1
         ys = ys[::step]
         xs = xs[::step]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0

@@ -78,16 +78,24 @@ def _rot_nn_index(h: int, w: int, deg: float) -> tuple[np.ndarray, np.ndarray]:
         # rint, int32 indices, no meshgrid materialization)
         xx = np.arange(w, dtype=np.float64)[None, :] - cx
         yy = np.arange(h, dtype=np.float64)[:, None] - cy
+        # (r5 note: an in-place `sx += cx; np.rint(sx, out=sx)` rewrite of
+        # these two lines measured 1.4x SLOWER at function level — numpy's
+        # rint-with-out dispatch loses to the expression form — so the
+        # one-liners stay; only the invalid-mask accumulation below was
+        # kept from that attempt. Interleaved A/B in BENCH.md r5.)
         xi = np.rint(cos_t * xx + sin_t * yy + cx).astype(np.int32)
         yi = np.rint(-sin_t * xx + cos_t * yy + cy).astype(np.int32)
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        invalid = xi < 0
+        np.logical_or(invalid, xi >= w, out=invalid)
+        np.logical_or(invalid, yi < 0, out=invalid)
+        np.logical_or(invalid, yi >= h, out=invalid)
         np.clip(xi, 0, w - 1, out=xi)
         np.clip(yi, 0, h - 1, out=yi)
         flat = yi * np.int32(w)
         flat += xi  # flat gather indices, (h, w)
         if len(_ROT_IDX) > _ROT_IDX_CAP:
             _ROT_IDX.pop(next(iter(_ROT_IDX)))  # FIFO: evict oldest entry
-        cached = _ROT_IDX[key] = (flat, ~valid)
+        cached = _ROT_IDX[key] = (flat, invalid)
     return cached
 
 

@@ -8,10 +8,13 @@ a copy-pasted memo-with-cap loop; unified here after r3 (BENCH.md r3
 - keyed on ``media_ref`` — a payload repeated across many rows is decoded/
   recognized once per worker (reference analog: the per-thread provider
   instance, /root/reference src/recognition/main.cpp:136-177);
-- bounded: past ``cap`` distinct refs the memo is cleared wholesale (no
-  LRU bookkeeping on the hot path; at 10^12 documents per-worker refs are
-  effectively unbounded and the cap turns the memo into a generational
-  cache);
+- bounded: past ``cap`` distinct refs the oldest entry is evicted (FIFO
+  single-eviction — dicts iterate in insertion order, so ``next(iter(d))``
+  is the oldest key). The original clear-all eviction is the exact thrash
+  pattern measured at 1.24x on the rotate_nn memo when the working set
+  exceeded the cap (BENCH.md r4); refs rarely repeat at production scale
+  so the 65,536 cap makes thrash unlikely here, but the same two-line fix
+  costs nothing (VERDICT r4 "What's wrong" #3);
 - error quarantine counts DISTINCT payloads, not rows: a corrupt payload
   is attempted once, memoized as ``QUARANTINED``, and every later row with
   the same ref is dropped/NULLed for free.
@@ -28,6 +31,11 @@ QUARANTINED = object()
 
 _CAP = 65536
 
+# Cache-miss sentinel: distinct from any value compute can return, so a
+# compute that legitimately returns None is still memoized (ADVICE r4 —
+# with None as the sentinel such a value would silently re-run per row).
+_MISSING = object()
+
 
 class RefMemo:
     """``media_ref -> compute(ref, *args)`` with the shared payload cap."""
@@ -40,11 +48,11 @@ class RefMemo:
         self._cap = cap
 
     def get(self, ref, *args):
-        v = self._memo.get(ref)
-        if v is None:
+        v = self._memo.get(ref, _MISSING)
+        if v is _MISSING:
             v = self._compute(ref, *args)
             if len(self._memo) > self._cap:
-                self._memo.clear()
+                self._memo.pop(next(iter(self._memo)))  # FIFO: evict oldest
             self._memo[ref] = v
         return v
 

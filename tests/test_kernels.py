@@ -123,3 +123,47 @@ def test_roundtrip_generative(words, skew, noise):
     eng = Recognizer()
     img = render.render_image(words, skew, noise)
     assert [w.text for w in eng.recognize(img)] == words
+
+
+def test_estimate_skew_subsample_invariant():
+    """The r5 4096->2048 ink-subsample bound must not move any deskew
+    argmax (the full ~5,000-case grid was swept before landing; this pins
+    a representative slice so a future bound change re-proves itself)."""
+    from ocr_suite_spark.kernels.ocr import estimate_skew
+
+    rng = np.random.RandomState(3)
+    for wc in (1, 3, 5, 7):
+        for skew in SKEW_SET:
+            words = [MEDIA_WORDS[int(rng.randint(0, len(MEDIA_WORDS)))] for _ in range(wc)]
+            img = render.render_image(words, skew, int(rng.randint(0, 1000)))
+            mask = binarize(img)
+            # dense-ink path must engage: these canvases carry > 2048 ink px
+            assert estimate_skew(mask) == skew
+
+
+def test_ref_memo_fifo_and_none_values():
+    """RefMemo evicts FIFO-single (never clear-all) and memoizes a compute
+    that returns None (distinct _MISSING sentinel, ADVICE r4)."""
+    from ocr_suite_spark.operators.memo import RefMemo
+
+    calls = []
+
+    def compute(ref):
+        calls.append(ref)
+        return None if ref == "none-ref" else ref.upper()
+
+    memo = RefMemo(compute, cap=3)
+    # None return is memoized: second get must not recompute
+    assert memo.get("none-ref") is None
+    assert memo.get("none-ref") is None
+    assert calls.count("none-ref") == 1
+    for r in ("a", "b", "c", "d"):  # overflow the cap by one
+        memo.get(r)
+    # oldest entry ("none-ref") evicted, the rest retained — a retained
+    # ref must not recompute, the evicted one must
+    n = len(calls)
+    memo.get("d")
+    memo.get("c")
+    assert len(calls) == n
+    memo.get("none-ref")
+    assert len(calls) == n + 1
