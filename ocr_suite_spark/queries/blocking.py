@@ -48,12 +48,18 @@ MIN_BLOCK_BITS = 4  # == the r3 fixed width; binds below n = 32 * 2^4
 MAX_BLOCK_BITS = 32  # <= embedding dims (64); binds past ~1.4e11 vectors
 
 
-def occupancy_bits_col(n: Column) -> Column:
-    """Smallest b in [MIN_BLOCK_BITS, MAX_BLOCK_BITS] with
-    n <= TARGET_OCCUPANCY * 2^b — integer comparisons only."""
-    bits = F.lit(MIN_BLOCK_BITS)
-    for b in range(MIN_BLOCK_BITS, MAX_BLOCK_BITS):
-        bits = bits + F.when(n > F.lit(TARGET_OCCUPANCY * (1 << b)), 1).otherwise(0)
+def occupancy_bits_col(
+    n: Column,
+    occ: int = TARGET_OCCUPANCY,
+    min_bits: int = MIN_BLOCK_BITS,
+    max_bits: int = MAX_BLOCK_BITS,
+) -> Column:
+    """Smallest b in [min_bits, max_bits] with n <= occ * 2^b — integer
+    comparisons only. Defaults are the knn/cosine blocking constants;
+    dedup_semdedup reuses the rule with its own floor (K >= 8 cells)."""
+    bits = F.lit(min_bits)
+    for b in range(min_bits, max_bits):
+        bits = bits + F.when(n > F.lit(occ * (1 << b)), 1).otherwise(0)
     return bits.cast("int")
 
 
@@ -109,14 +115,20 @@ def knn_probe_buckets(emb: DataFrame, e_col: str = "e") -> DataFrame:
 # subquery into every CASE term makes DuckDB re-evaluate it per row per
 # term — measured as a multi-minute hang at sf0.001.
 
-def duck_bits_cte(table: str) -> str:
-    """`nb AS (SELECT ... AS b FROM {table})` — occupancy_bits_col over
+def duck_bits_cte(
+    table: str,
+    occ: int = TARGET_OCCUPANCY,
+    min_bits: int = MIN_BLOCK_BITS,
+    max_bits: int = MAX_BLOCK_BITS,
+    name: str = "nb",
+) -> str:
+    """`{name} AS (SELECT ... AS b FROM {table})` — occupancy_bits_col over
     COUNT(*), one aggregate row."""
     terms = " + ".join(
-        f"(CASE WHEN COUNT(*) > {TARGET_OCCUPANCY * (1 << b)} THEN 1 ELSE 0 END)"
-        for b in range(MIN_BLOCK_BITS, MAX_BLOCK_BITS)
+        f"(CASE WHEN COUNT(*) > {occ * (1 << b)} THEN 1 ELSE 0 END)"
+        for b in range(min_bits, max_bits)
     )
-    return f"nb AS (SELECT {MIN_BLOCK_BITS} + {terms} AS b FROM {table})"
+    return f"{name} AS (SELECT {min_bits} + {terms} AS b FROM {table})"
 
 
 def duck_adaptive_bucket_expr(emb_col: str, bits_sql: str) -> str:

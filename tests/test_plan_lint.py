@@ -29,6 +29,8 @@ SINGLE_PARTITION_OK = {
     "curate_funnel_stages": "per-stage 1-row COUNT aggregates (the funnel's "
     "job summary; stage relations are checkpointed, never corpus-wide here)",
     "bpe_pair_counts": "50-row exchange above TakeOrderedAndProject (w1 pattern)",
+    "dedup_semdedup": "1-row stats aggregate (occupancy-rule sem_bits/step, "
+    "blocking.py pattern; the corpus-wide stages are checkpointed upstream)",
 }
 
 # Queries allowed a BroadcastNestedLoopJoin — all with a tiny pinned build
@@ -39,7 +41,8 @@ BNLJ_OK = {
     "ann_ivf_topk": "BuildLeft: 16 centroid rows broadcast for cell assignment",
     "ann_ivf_multiprobe": "BuildLeft: the same 16-centroid broadcast assignment",
     "kmeans_2iter": "K=8 centroid rows broadcast per assignment pass (IVF pattern)",
-    "dedup_semdedup": "inherits kmeans_2iter's K=8 centroid broadcasts",
+    "dedup_semdedup": "1-row stats broadcast + adaptive centroid broadcasts "
+    "(bucket-miss fallback only; the main assignment is a bk equi-join)",
     "knn_self_join": "1-row corpus-count broadcast (occupancy bit-width, blocking.py)",
     "dedup_embedding_cosine": "1-row corpus-count broadcast (occupancy bit-width)",
 }
