@@ -315,15 +315,21 @@ def media_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _duck_hex4(start: int) -> str:
-    """md5-hex chars [start, start+4) of doc_id as an integer — the SQL
+def _duck_hex(start: int, n: int) -> str:
+    """md5-hex chars [start, start+n) of doc_id as an integer — the SQL
     twin of python int(h[a:b], 16), built from ascii digit arithmetic."""
     def digit(i: int) -> str:
         c = f"ascii(substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1))"
         return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
 
-    d1, d2, d3, d4 = (digit(start + k) for k in range(4))
-    return f"((({d1} * 16 + {d2}) * 16 + {d3}) * 16 + {d4})"
+    expr = digit(start)
+    for k in range(1, n):
+        expr = f"({expr} * 16 + {digit(start + k)})"
+    return expr
+
+
+def _duck_hex4(start: int) -> str:
+    return _duck_hex(start, 4)
 
 
 MEDIA_AUDIO_SQL = f"""
@@ -344,8 +350,156 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Video leg of the multimodal layer (the brief names image/audio/VIDEO as
+# opaque binary + typed metadata; this completes the set). Payloads are
+# synthetic OCSVID1 multi-frame containers (kernels/video.py): frame
+# count, dimensions and each frame's CONSTANT gray value derive from
+# md5(doc_id) hex digits, so a frame's mean == min == max == gray exactly
+# and its pixel sum is an integer product — the DuckDB oracle predicts
+# the decoder's per-frame output ANALYTICALLY (md5 digit arithmetic +
+# generate_series, no bytes) while the Spark side decodes real bytes
+# through two chained mapInPandas. A green row value-gates the whole
+# binary round trip per frame, including every pixel byte (pixel_sum).
+# This is the closest local analog of the reference's demux → per-frame
+# decode loop (/root/reference src/ffmpeg/decoder.cpp:313-335).
+
+
+def media_video_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Per decoded video frame: (doc_id, frame_idx, ts_ms, width, height,
+    gray, pixel_sum, frame_bytes, clip_bytes).
+
+    Scale: two chained mapInPandas (resolve → demux+decode+meta) with
+    zero shuffles — clip bytes never leave the worker; the per-frame
+    explode happens INSIDE the second UDF (one input row → n_frames
+    output rows), so no array column is shuffled either."""
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import video
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [video.resolve_video(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    src = docs.mapInPandas(resolve, "doc_id long, content binary")
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import video
+        from ..operators.memo import RefMemo
+
+        def compute(doc_id, data):
+            frames = video.decode_video(bytes(data))
+            n = len(data)
+            return [
+                (
+                    f,
+                    f * 1000 // video.FPS,
+                    fr.shape[1],
+                    fr.shape[0],
+                    int(fr.min()),
+                    int(fr.sum()),
+                    12 + fr.shape[0] * fr.shape[1],
+                    n,
+                )
+                for f, fr in enumerate(frames)
+            ]
+
+        memo = RefMemo(compute)  # keyed on doc_id — same plumbing as audio
+        for pdf in batches:
+            rows = []
+            for d, c in zip(pdf["doc_id"], pdf["content"]):
+                for frame_row in memo.get(int(d), c):
+                    rows.append((int(d), *frame_row))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "ts_ms", "width", "height",
+                    "gray", "pixel_sum", "frame_bytes", "clip_bytes",
+                ],
+            )
+
+    return src.mapInPandas(
+        meta,
+        "doc_id long, frame_idx int, ts_ms long, width int, height int, "
+        "gray long, pixel_sum long, frame_bytes long, clip_bytes long",
+    )
+
+
+def media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """frame_sample composed ON TOP of the decoded video frames: keep
+    every 2nd frame per clip by timestamp order (the reference's
+    I/P-frame decode-fewer filter applied to real decoded frames, not
+    the relational span analog)."""
+    per_frame = media_video_meta(spark, sf).select(
+        "doc_id",
+        F.col("ts_ms").cast("int").alias("offset"),
+        F.concat(
+            F.lit("vid://"), F.col("doc_id"), F.lit("#"), F.col("frame_idx")
+        ).alias("media_ref"),
+    )
+    return frame_sample(per_frame)
+
+
+def _video_params_sql() -> str:
+    """p AS (...) — the md5-hex derivation of kernels.video.video_params
+    (digits [8:16), disjoint from audio's [0:8))."""
+    return f"""p AS (
+  SELECT doc_id,
+         2 + {_duck_hex(9, 2)} % 4 AS n_frames,
+         16 + {_duck_hex(11, 2)} % 48 AS w,
+         16 + {_duck_hex(13, 2)} % 48 AS h,
+         10 + {_duck_hex(15, 2)} % 200 AS base
+  FROM documents
+),
+vf AS (
+  SELECT doc_id, n_frames, w, h, base,
+         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS f
+  FROM p
+)"""
+
+
+MEDIA_VIDEO_SQL = f"""
+WITH {_video_params_sql()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 // 10 AS BIGINT) AS ts_ms,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((base + 7 * f) % 256 AS BIGINT) AS gray,
+       CAST(((base + 7 * f) % 256) * w * h AS BIGINT) AS pixel_sum,
+       CAST(12 + w * h AS BIGINT) AS frame_bytes,
+       CAST(10 + n_frames * (16 + w * h) AS BIGINT) AS clip_bytes
+FROM vf
+"""
+
+
+MEDIA_VIDEO_FRAMES_SQL = f"""
+WITH {_video_params_sql()},
+spans AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(f * 1000 // 10 AS INT) AS "offset",
+         'vid://' || CAST(doc_id AS VARCHAR) || '#' || CAST(f AS VARCHAR) AS media_ref
+  FROM vf
+),
+idx AS (
+  SELECT doc_id, "offset", media_ref,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS BIGINT) AS frame_idx
+  FROM spans
+)
+SELECT doc_id, "offset", media_ref, frame_idx FROM idx
+WHERE frame_idx % {_FRAME_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "media_audio_meta": (media_audio_meta, MEDIA_AUDIO_SQL),
+    "media_video_meta": (media_video_meta, MEDIA_VIDEO_SQL),
+    "media_video_frames": (media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
     "media_decode_meta": (media_decode_meta, golden_sql("media_decode_meta")),
     "media_resize_meta": (media_resize_meta, golden_sql("media_resize_meta")),
     "media_features": (media_features, golden_sql("media_features")),

@@ -90,3 +90,55 @@ def test_audio_decode_rejects_foreign_formats():
 
     with _pytest.raises(NotImplementedError):
         audio.decode_audio(b"RIFF....WAVEfmt ")
+
+
+def test_video_kernel_roundtrip():
+    """OCSVID1 encode/decode roundtrip + the constant-frame exactness the
+    analytic oracle relies on (mean == min == max == gray, integer pixel
+    sum, byte count closed-form)."""
+    import numpy as np
+
+    from ocr_suite_spark.kernels import video
+
+    for doc_id in (0, 7, 12345, 999999):
+        n, w, h, base = video.video_params(doc_id)
+        data = video.resolve_video(doc_id)
+        assert len(data) == 10 + n * (16 + w * h)
+        frames = video.decode_video(data)
+        assert len(frames) == n
+        for f, fr in enumerate(frames):
+            assert fr.shape == (h, w) and fr.dtype == np.uint8
+            gv = video.frame_gray(base, f)
+            assert int(fr.min()) == int(fr.max()) == gv
+            assert int(fr.sum()) == gv * w * h
+
+
+def test_video_decode_rejects_foreign_formats():
+    import pytest as _pytest
+
+    from ocr_suite_spark.kernels import video
+
+    with _pytest.raises(NotImplementedError):
+        video.decode_video(b"\x00\x00\x00\x18ftypmp42....")
+
+
+def test_video_frames_compose_frame_sample(spark):
+    """media_video_frames == every 2nd decoded frame per clip, in ts
+    order — the stride semantics of frame_sample applied to real decoded
+    frames (not the relational span analog)."""
+    from ocr_suite_spark.kernels import video
+    from ocr_suite_spark.queries.multimodal import media_video_frames
+
+    rows = media_video_frames(spark, "/root/testdata/sf0.001").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r)
+    some_multi = 0
+    for doc_id, rs in list(by_doc.items())[:50]:
+        n, _, _, _ = video.video_params(doc_id)
+        want_idx = list(range(0, n, 2))
+        got = sorted(rs, key=lambda r: r["offset"])
+        assert [int(r["frame_idx"]) for r in got] == want_idx
+        assert [int(r["offset"]) for r in got] == [i * 100 for i in want_idx]
+        some_multi += n > 2
+    assert some_multi  # the slice exercises clips with > 2 frames
