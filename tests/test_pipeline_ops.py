@@ -172,3 +172,23 @@ def test_decontaminate_bloom_path_identical(spark):
         .toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_distributed_build_bit_identical(spark):
+    """The r5 distributed Bloom compile (per-partition packed arrays,
+    driver OR of <= 32 arrays — no eval-row collect) must produce the
+    exact bits the driver-side build does."""
+    from ocr_suite_spark.queries.curation import (
+        DECON_BLOOM_FPP,
+        _Bloom,
+        _bloom_distributed,
+        _eval_split,
+    )
+
+    _, _, eval_sh = _eval_split(spark, "/root/testdata/sf0.001")
+    eval_sh = eval_sh.localCheckpoint(eager=True)
+    dist = _bloom_distributed(eval_sh, DECON_BLOOM_FPP)
+    ref = _Bloom([r["sh"] for r in eval_sh.collect()], DECON_BLOOM_FPP)
+    assert (dist.m, dist.k) == (ref.m, ref.k)
+    assert (dist.bits == ref.bits).all()
+    assert dist.bits.any()  # non-degenerate: the slice has shingles
