@@ -192,3 +192,33 @@ def test_bloom_distributed_build_bit_identical(spark):
     assert (dist.m, dist.k) == (ref.m, ref.k)
     assert (dist.bits == ref.bits).all()
     assert dist.bits.any()  # non-degenerate: the slice has shingles
+
+
+def test_bpe_merge_learn_matches_python_oracle(spark, docs_tokens):
+    """Third engine for the r5 BPE training loop: greedy reference BPE
+    (Sennrich et al. 2016) in pure Python over the same token stream —
+    per-round top pair (count desc, lexicographic) and its count must
+    match the Spark merge table exactly, including left-to-right
+    non-overlapping merge application."""
+    from ocr_suite_spark.queries.textstats import BPE_MERGES, bpe_merge_learn
+
+    seqs = [list(tok) for toks in docs_tokens.values() for tok in toks]
+    want = []
+    for step in range(1, BPE_MERGES + 1):
+        counts: Counter = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, n))
+        for s in seqs:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == a and s[i + 1] == b:
+                    s[i : i + 2] = [a + b]  # greedy left-to-right
+                i += 1
+    got = [
+        (int(r["step"]), r["left_sym"], r["right_sym"], r["merged"], int(r["n"]))
+        for r in bpe_merge_learn(spark, SF).orderBy("step").collect()
+    ]
+    assert got == want
