@@ -323,8 +323,9 @@ GROUP BY ROLLUP(source, lang)
 # snapshot is synthesized deterministically in-query (the pii_scrub
 # convention): ~1/16 of docs deleted, ~1/4 of survivors text-revised,
 # ~1/16 spawn a brand-new doc id — both engines derive the identical v2.
-
-_V2_NEW_OFFSET = 10_000_000
+# New ids are NEGATED (-(doc_id+1)): corpus doc_ids are non-negative, so
+# synthetic ids can never collide with a survivor at ANY corpus size
+# (ADVICE r4: the old +10M offset collided once real ids passed 10M).
 
 
 def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
@@ -336,7 +337,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.col("text"))
     v2_core = survivors.select("doc_id", modified_text.alias("text"))
     v2_new = docs.where(F.substring(h, 3, 1) == "0").select(
-        (F.col("doc_id") + _V2_NEW_OFFSET).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.lit("new "), F.col("text")).alias("text"),
     )
     v2 = v2_core.unionByName(v2_new)
@@ -364,7 +365,7 @@ v2 AS (
          CASE WHEN substr(hh, 2, 1) < '4' THEN text || ' rev2' ELSE text END AS text
   FROM h WHERE substr(hh, 1, 1) >= '1'
   UNION ALL
-  SELECT doc_id + {_V2_NEW_OFFSET}, 'new ' || text FROM h WHERE substr(hh, 3, 1) = '0'
+  SELECT -(doc_id + 1), 'new ' || text FROM h WHERE substr(hh, 3, 1) = '0'
 ),
 a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
 b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
