@@ -76,37 +76,36 @@ def test_every_query_has_an_oracle():
     assert missing == [], missing
 
 
-# Queries allowed to sit past the driver's 50-entry grading prefix: fully
-# green in CORRECTNESS_r03.json (rows+schema+hash) and semantically frozen
-# since the r3 verdict commit (8863fb4) — r03 is their standing proof
-# (COVERAGE.md records per-query rounds). Anything NOT on this list must
-# stay inside the prefix so it gets a driver row. The r2-frozen list that
-# lived here through r3 is EMPTY as of r4: all 37 of its members were
-# rotated back into the r4 grading prefix (VERDICT r3 ask #1).
+# Queries allowed to sit past the driver's 50-entry grading prefix. The
+# R02 list retired in r5 (its last five members re-graded); the residual
+# r3-frozen set is 11 trivial row-local projections/filters with pytest
+# third engines (<= 12 per the VERDICT r3 budget). Anything NOT on a
+# frozen list must stay inside the prefix so it gets a driver row, and
+# every frozen member's fn-source + oracle SQL is HASH-PINNED
+# (test_frozen_bodies_unchanged below — ADVICE r4 #2: enforce the freeze,
+# don't assert it in comments).
 R03_PROVEN_FROZEN = {
-    "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
-    "bm25_search", "pagerank_2iter", "html_outlinks", "kmeans_2iter",
-    "hits_2iter", "media_frame_sample", "sample_hash_fraction",
-    "sample_stratified", "nchars_quantiles", "sample_mixture",
-    "epoch_shuffle", "source_divergence", "quality_repetition",
-    "pii_scrub", "chunk_windows", "quality_c4_rules",
-    "quality_gopher_rules", "html_main_content", "pdf_layout_parse",
-    "dom_text_density", "asof_join_prior_view", "sessionize_gap",
-    "range_join_nearby", "rolling_range_1d", "dedup_exact",
-    "dedup_url_canonical", "dedup_keep_canonical",
-    "dedup_minhash_signature", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_passages", "dedup_clusters",
-    "j2_hash_id_mint", "o1_size_ranked_assign", "o1_lpt_assign",
+    "media_frame_sample", "dedup_exact", "pii_scrub", "chunk_windows",
+    "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
+    "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
+    "j2_hash_id_mint",
 }
 
-# Residual r2-frozen queries: displaced from the r4 prefix by the late-r4
-# operators (dedup_semdedup, bpe_pair_counts, corpus_stats_rollup,
-# corpus_snapshot_diff, media_audio_meta). Trivial scalar/normalizer projections, bodies
-# untouched since the r2 verdict commit — CORRECTNESS_r02 remains their
-# proof (VERDICT r3 accepted a residual list of <= 12).
-R02_PROVEN_FROZEN = {
-    "p8_confidence_scale", "p9_frame_time", "p12_date_format", "p23_normalize",
-    "p6_word_split_pos",
+# Green in CORRECTNESS_r04.json (rows+schema+hash), bodies hash-pinned
+# frozen since.
+R04_PROVEN_FROZEN = {
+    "pack_sequences_tokens", "bpe_pair_counts", "corpus_stats_rollup",
+    "pack_sequences", "p7_coord_normalize", "p10_filename_ts",
+    "j4_point_lookup", "a8_progress_pct", "a1_watermark_max",
+    "a3_resume_antijoin", "j1_dict_like_join", "j3_pair_by_key",
+    "a5_group_collect_ordered", "a6_match_count", "w1_global_sort",
+    "w2_time_rollup", "w2_tree_rollup", "p11_relative_time",
+    "w3_running_max", "w4_lead_lag", "o3_top1_per_group",
+    "s13_json_line", "s14_csv_line", "s15_json_parse",
+    "q1_pricing_summary", "q3_top_revenue", "q6_forecast_revenue",
+    "q12_shipmode_priority", "ann_topk_bruteforce", "ann_lsh_histogram",
+    "ann_lsh_topk", "ann_ivf_topk", "lang_id_ngram", "quality_score",
+    "token_count", "doc_fingerprint",
 }
 
 
@@ -115,6 +114,39 @@ def test_grading_prefix_covers_unproven_queries():
     that is new or changed (i.e. not on a frozen proven list) must sit
     inside that prefix, or it ships without any driver row."""
     names = list(REGISTRY)
-    frozen = R03_PROVEN_FROZEN | R02_PROVEN_FROZEN
+    frozen = R03_PROVEN_FROZEN | R04_PROVEN_FROZEN
     ungraded = [n for n in names[50:] if n not in frozen]
     assert ungraded == [], f"queries past the grading prefix without prior proof: {ungraded}"
+
+
+def _frozen_body_hash(name: str) -> str:
+    """md5 of the query fn's source + its rendered oracle SQL — the freeze
+    fingerprint. Limitation (disclosed): source hashing sees the query
+    body, not its callee graph; kernel-path value identity is separately
+    guarded by the golden fixtures at two SFs."""
+    import hashlib
+    import inspect
+
+    fn, sql = REGISTRY[name]
+    src = inspect.getsource(fn)
+    return hashlib.md5((src + "\0" + (sql or "")).encode()).hexdigest()
+
+
+def test_frozen_bodies_unchanged():
+    """ADVICE r4 #2: a demoted query shipping on a prior round's proof must
+    be BYTE-frozen (fn source + rendered oracle SQL), not just asserted
+    frozen. On legitimate change: move the query into the grading prefix
+    and regenerate with `python tests/gen_frozen_hashes.py` AFTER the
+    round's verdict records the new proof."""
+    import json
+    import os
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "frozen_hashes.json")
+    want = json.load(open(fixture))
+    frozen = sorted(R03_PROVEN_FROZEN | R04_PROVEN_FROZEN)
+    assert sorted(want) == frozen, "frozen list changed; regenerate frozen_hashes.json"
+    drift = [n for n in frozen if _frozen_body_hash(n) != want[n]]
+    assert drift == [], (
+        f"frozen query bodies changed without re-grading: {drift} — move them "
+        "into the 50-entry grading prefix (queries/__init__._PRIORITY)"
+    )
