@@ -47,6 +47,12 @@ HEADLINE = [
     "bm25_search",
     "knn_self_join",
     "quality_gopher_rules",
+    # r5 additions: the round's new/reworked heavyweights — adaptive-K
+    # SemDeDup (r4 audit of the fixed-K form: 5.9 s sf0.1), the BPE
+    # training loop, and the video decode leg.
+    "dedup_semdedup",
+    "bpe_merge_learn",
+    "media_video_meta",
 ]
 
 

@@ -245,8 +245,14 @@ def _assign_blocked(qb: DataFrame, cents: DataFrame, stats: DataFrame) -> DataFr
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    # a vector needs the fallback iff NO centroid shares its bucket — an
+    # anti-join on the BUCKET key against the tiny centroid-bucket set;
+    # deriving it from `main`'s vec_ids instead would make `main` a
+    # twice-executed subtree (the window + bucket join re-run for the
+    # anti-join's build side) — the structural cost matters at scale even
+    # though this host's noise band hides it at audit SF
     fallback = (
-        qb.join(main.select("vec_id"), "vec_id", "left_anti")
+        qb.join(F.broadcast(cb.select("bk").distinct()), "bk", "left_anti")
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "q", "cid", _sqdist(F.col("q"), F.col("c")).alias("dist"))
         .withColumn("rn", F.row_number().over(w))
@@ -273,13 +279,17 @@ def _sem_cells_q(q: DataFrame) -> DataFrame:
     # logical plan grows ~6^rounds copies of the 32-term bucket expr —
     # big enough that Spark OOMs merely RENDERING the AQE plan string.
     # qb once + cents per round bounds the plan linearly; cents is ~K rows.
+    # lazy checkpoints: the cut lineage is what bounds the plan (the
+    # OOM-in-explainString fix); eager materialization adds a blocking
+    # job per round — lazy won a 3-round interleaved A/B at sf0.1
+    # (8.49/8.85/7.50 vs 8.98/8.89/7.98 s, BENCH.md r5)
     qb = qb.withColumn(
         "bk", adaptive_bucket_col(F.col("q"), F.col("cbb"))
-    ).localCheckpoint(eager=True)
-    cents = _sem_seeds(qb).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    cents = _sem_seeds(qb)
     for _ in range(KM_ITERS):
         cents = _update(_assign_blocked(qb, cents, stats), cents).localCheckpoint(
-            eager=True
+            eager=False
         )
     return _assign_blocked(qb, cents, stats).select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
@@ -360,8 +370,8 @@ def _duck_assign_blocked(cents: str, out: str) -> str:
   SELECT vec_id, q, qnorm, cid, dist FROM (
     SELECT v.vec_id, v.q, v.qnorm, c.cid, {dist} AS dist,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
-    FROM (SELECT qb.* FROM qb LEFT JOIN {out}_m m ON qb.vec_id = m.vec_id
-          WHERE m.cid IS NULL) v
+    FROM (SELECT qb.* FROM qb
+          WHERE qb.bk NOT IN (SELECT bk FROM {out}_cb)) v
     CROSS JOIN {cents} c) WHERE rn = 1
 )"""
 

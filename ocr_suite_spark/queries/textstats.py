@@ -555,12 +555,22 @@ def bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
                 "n",
             )
         )
-        seg = seg.crossJoin(F.broadcast(top)).select(
-            F.replace(
-                "seg",
-                F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
-                F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-            ).alias("seg")
+        # materialize the merged segmentation per round: recomputing it
+        # lazily makes round r re-run r replace passes (O(rounds²) corpus
+        # scans — measured 13.8 s vs ~7 s at sf0.1); at cluster scale this
+        # is the persist-per-iteration every iterative job does
+        seg = (
+            seg.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    "seg",
+                    F.concat(
+                        F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("seg")
+            )
+            .localCheckpoint(eager=False)
         )
     out = merges[0]
     for m in merges[1:]:
