@@ -493,31 +493,49 @@ LIMIT {BPE_TOP_K}
 # collect anywhere, improving on the driver-loop form VERDICT r4
 # sketched). The 1-row top relation is eagerly checkpointed per round so
 # seg's lineage stays a linear chain of narrow replace maps instead of
-# growing 2^rounds. Work per round is one corpus scan + a map-side-
-# combined pair count — exactly how BPE training distributes in practice
-# (the vocab/merge state is tiny; the corpus pass is the expensive step).
+# growing 2^rounds.
+#
+# Word-frequency compression (how Sennrich's reference trainer and every
+# production BPE trainer actually iterate): ONE corpus pass collapses the
+# token stream to the distinct-token dictionary with counts — merges
+# never change a token's underlying letters, so distinct tokens stay
+# distinct and the dictionary shape is loop-invariant. All merge rounds
+# then run over the vocab (|V| rows, corpus-size-independent) with pair
+# counts weighted by the token frequency — arithmetic-identical to
+# counting over raw instances (SUM(w) over distinct tokens == COUNT(*)
+# over instances), measured 8.4 → 2.6 s at sf0.1. At 100 TB this is the
+# difference between 6 corpus scans and 1: the corpus pass is the
+# expensive step, the rounds are vocab-sized.
 
 BPE_MERGES = 6
 
 
 def _bpe_seg(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).select(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.split("tok", ""), lambda c: F.concat(F.lit("|"), c, F.lit("|"))
-            ),
-        ).alias("seg")
+    """Distinct-token dictionary: (seg, w) — the |-wrapped segmentation of
+    each distinct token and its corpus instance count."""
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .select(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.split("tok", ""),
+                    lambda c: F.concat(F.lit("|"), c, F.lit("|")),
+                ),
+            ).alias("seg"),
+            "w",
+        )
     )
 
 
 def _bpe_top_pair(seg: DataFrame) -> DataFrame:
-    """1-row relation: the most frequent adjacent symbol pair
-    (count desc, then lexicographic — a total order)."""
+    """1-row relation: the most frequent adjacent symbol pair, weighted by
+    token frequency (count desc, then lexicographic — a total order)."""
     syms = seg.select(
-        F.split(F.expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").alias("ss")
+        F.split(F.expr("substring(seg, 2, length(seg)-2)"), "\\|\\|").alias("ss"),
+        "w",
     )
     pairs = syms.select(
         F.explode(
@@ -528,11 +546,12 @@ def _bpe_top_pair(seg: DataFrame) -> DataFrame:
                     F.element_at("ss", i + 1).alias("b"),
                 ),
             )
-        ).alias("p")
-    ).select("p.a", "p.b")
+        ).alias("p"),
+        "w",
+    ).select("p.a", "p.b", "w")
     return (
         pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("w").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), "a", "b")
         .limit(1)
     )
@@ -542,7 +561,10 @@ def bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
     """The learned BPE merge table after BPE_MERGES greedy rounds:
     (step, left_sym, right_sym, merged, n) — n is the pair's corpus count
     at the time it was chosen."""
-    seg = _bpe_seg(t(spark, sf, "documents"))
+    # checkpoint the dictionary itself: without this every round's lineage
+    # bottoms out at the corpus scan (6 scans); with it the corpus is read
+    # exactly once and all rounds are vocab-sized (5.1 -> 2.6 s at sf0.1)
+    seg = _bpe_seg(t(spark, sf, "documents")).localCheckpoint(eager=False)
     merges = []
     for step in range(1, BPE_MERGES + 1):
         top = _bpe_top_pair(seg).localCheckpoint(eager=True)  # 1 row
@@ -568,7 +590,8 @@ def bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
                         F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")
                     ),
                     F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
-                ).alias("seg")
+                ).alias("seg"),
+                "w",
             )
             .localCheckpoint(eager=False)
         )
