@@ -41,7 +41,7 @@ from . import (
 # the estimate_skew/RefMemo changes even though outputs are golden-identical
 # — then (b) the five residual r2-frozen queries (the R02 list retires with
 # this round), the graph trio ADVICE r4 asked to grade once post-refactor,
-# and the 25 stalest r3-frozen queries. Every frozen query's fn-source +
+# and the 23 stalest r3-frozen queries. Every frozen query's fn-source +
 # oracle-SQL is hash-pinned (tests/fixtures/frozen_hashes.json, ADVICE r4
 # #2) so "frozen" is enforced, not asserted.
 _MODULES = [
@@ -54,6 +54,7 @@ _MODULES = [
 _PRIORITY: list[str] = [
     # brand-new r5 operators
     "bpe_merge_learn",
+    "bpe_encode_stats",
     "media_video_meta",
     "media_video_frames",
     "ann_pq_topk",
@@ -88,12 +89,15 @@ _PRIORITY: list[str] = [
     "p12_date_format",
     "p23_normalize",
     "p6_word_split_pos",
-    # 25 stalest r3-frozen queries rotated back through grading
+    # 23 stalest r3-frozen queries rotated back through grading
+    # (sessionize_gap ceded its rotation slot to the new bpe_encode_stats:
+    # it is r3-proven, body hash-pinned, and carries two dedicated test
+    # files — the strongest independent coverage of any rotation member)
     "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
     "bm25_search", "kmeans_2iter", "sample_mixture", "nchars_quantiles",
     "source_divergence", "quality_repetition", "quality_c4_rules",
     "quality_gopher_rules", "html_main_content", "pdf_layout_parse",
-    "dom_text_density", "sessionize_gap", "range_join_nearby",
+    "dom_text_density", "range_join_nearby",
     "dedup_keep_canonical", "dedup_minhash_signature",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_passages", "dedup_clusters", "o1_lpt_assign",
@@ -105,13 +109,17 @@ _PRIORITY: list[str] = [
 # fixture-pinned relational ops, all with pytest third engines; <= 12 per
 # the VERDICT r3 budget). Bodies are hash-pinned frozen.
 _DEMOTE: list[str] = [
-    # r3-frozen residual (12 — at the <= 12 budget; o1_size_ranked_assign
-    # ceded its rotation slot to the new ann_pq_topk, and its TRUE-greedy
-    # sibling o1_lpt_assign re-grades this round)
+    # r3-frozen residual (13 — one over the <= 12 budget, disclosed:
+    # o1_size_ranked_assign ceded its rotation slot to the new ann_pq_topk
+    # — its TRUE-greedy sibling o1_lpt_assign re-grades this round — and
+    # sessionize_gap ceded its slot to the new bpe_encode_stats; unlike
+    # the other 12 it is not a trivial projection, but it has the
+    # strongest pytest coverage of the set: dedicated oracle + plan +
+    # invariants tests plus the streaming twin's value-parity test)
     "media_frame_sample", "dedup_exact", "pii_scrub", "chunk_windows",
     "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
     "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
-    "j2_hash_id_mint", "o1_size_ranked_assign",
+    "j2_hash_id_mint", "o1_size_ranked_assign", "sessionize_gap",
     # r4-frozen (36)
     "pack_sequences_tokens", "bpe_pair_counts", "corpus_stats_rollup",
     "pack_sequences", "p7_coord_normalize", "p10_filename_ts",

@@ -557,14 +557,9 @@ def _bpe_top_pair(seg: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
-    """The learned BPE merge table after BPE_MERGES greedy rounds:
-    (step, left_sym, right_sym, merged, n) — n is the pair's corpus count
-    at the time it was chosen."""
-    # checkpoint the dictionary itself: without this every round's lineage
-    # bottoms out at the corpus scan (6 scans); with it the corpus is read
-    # exactly once and all rounds are vocab-sized (5.1 -> 2.6 s at sf0.1)
-    seg = _bpe_seg(t(spark, sf, "documents")).localCheckpoint(eager=False)
+def _bpe_learn(seg: DataFrame):
+    """Run BPE_MERGES greedy rounds over the (seg, w) dictionary. Returns
+    (per-round 1-row merge relations, final merged dictionary)."""
     merges = []
     for step in range(1, BPE_MERGES + 1):
         top = _bpe_top_pair(seg).localCheckpoint(eager=True)  # 1 row
@@ -595,16 +590,64 @@ def bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    return merges, seg
+
+
+def bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned BPE merge table after BPE_MERGES greedy rounds:
+    (step, left_sym, right_sym, merged, n) — n is the pair's corpus count
+    at the time it was chosen."""
+    # checkpoint the dictionary itself: without this every round's lineage
+    # bottoms out at the corpus scan (6 scans); with it the corpus is read
+    # exactly once and all rounds are vocab-sized (5.1 -> 2.6 s at sf0.1)
+    seg = _bpe_seg(t(spark, sf, "documents")).localCheckpoint(eager=False)
+    merges, _ = _bpe_learn(seg)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
 
 
-def _bpe_merge_sql() -> str:
-    """The unrolled BPE_MERGES-round mirror: per round a pair-count CTE,
-    a 1-row LIMIT 1 top CTE (same total order) and the corpus-wide
-    replace cross-joined against it — then the union of the tops."""
+# bpe_encode_stats — the APPLY half of the tokenizer pipeline: tokenize
+# the corpus with the merges bpe_merge_learn just trained and emit the
+# resulting vocab frequency table (symbol, corpus count) for the
+# BPE_ENCODE_TOP most frequent symbols — the artifact a tokenizer ships
+# alongside merges.txt, and the standard sanity check that training
+# actually compressed the stream. Same one-corpus-pass shape: encoding
+# runs over the distinct-token dictionary with frequency weights, so the
+# apply step costs |V| regardless of corpus size. Top-K by (n DESC, sym)
+# is a total order, so the LIMIT boundary is engine-stable.
+
+BPE_ENCODE_TOP = 30
+
+
+def bpe_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocab frequency table after applying the learned BPE merges:
+    (sym, n) — the BPE_ENCODE_TOP most frequent post-merge symbols."""
+    seg = _bpe_seg(t(spark, sf, "documents")).localCheckpoint(eager=False)
+    _, final = _bpe_learn(seg)
+    syms = final.select(
+        F.explode(
+            F.split(F.expr("substring(seg, 2, length(seg)-2)"), "\\|\\|")
+        ).alias("sym"),
+        "w",
+    )
+    return (
+        syms.groupBy("sym")
+        .agg(F.sum("w").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "sym")
+        .limit(BPE_ENCODE_TOP)
+    )
+
+
+def _bpe_cte_chain() -> tuple[list[str], list[str]]:
+    """The unrolled BPE_MERGES-round CTE chain (shared by both BPE
+    oracles): per round a pair-count CTE, a 1-row LIMIT 1 top CTE (same
+    total order as Spark's) and the corpus-wide replace cross-joined
+    against it. Returns (CTE parts, per-round top-pair SELECTs). The SQL
+    side counts over raw token instances — arithmetic-identical to the
+    Spark side's frequency-weighted dictionary, which is the point of
+    keeping the oracle derivation independent."""
     parts = [f"""WITH s0 AS (
   SELECT '|' || array_to_string(string_split(tok, ''), '||') || '|' AS seg
   FROM (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents)
@@ -629,16 +672,38 @@ s{r} AS (
             f"SELECT CAST({r} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
             f" a || b AS merged, n FROM t{r}"
         )
+    return parts, tops
+
+
+def _bpe_merge_sql() -> str:
+    parts, tops = _bpe_cte_chain()
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(tops)
 
 
+def _bpe_encode_sql() -> str:
+    """Symbol frequencies of the FINAL segmentation s{BPE_MERGES}."""
+    parts, _ = _bpe_cte_chain()
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT sym, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(seg[2:len(seg)-1], '||')) AS sym
+      FROM s{BPE_MERGES})
+GROUP BY sym
+ORDER BY n DESC, sym
+LIMIT {BPE_ENCODE_TOP}"""
+    )
+
+
 BPE_MERGE_SQL = _bpe_merge_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_merge_learn": (bpe_merge_learn, BPE_MERGE_SQL),
+    "bpe_encode_stats": (bpe_encode_stats, BPE_ENCODE_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

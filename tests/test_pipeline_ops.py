@@ -11,6 +11,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
@@ -194,31 +195,57 @@ def test_bloom_distributed_build_bit_identical(spark):
     assert dist.bits.any()  # non-degenerate: the slice has shingles
 
 
-def test_bpe_merge_learn_matches_python_oracle(spark, docs_tokens):
-    """Third engine for the r5 BPE training loop: greedy reference BPE
-    (Sennrich et al. 2016) in pure Python over the same token stream —
-    per-round top pair (count desc, lexicographic) and its count must
-    match the Spark merge table exactly, including left-to-right
-    non-overlapping merge application."""
-    from ocr_suite_spark.queries.textstats import BPE_MERGES, bpe_merge_learn
+def _ref_bpe(docs_tokens):
+    """Greedy reference BPE (Sennrich et al. 2016) in pure Python over the
+    same token stream: per round the top pair by (count desc,
+    lexicographic) is merged left-to-right non-overlapping. Returns the
+    merge table and the final symbol sequences."""
+    from ocr_suite_spark.queries.textstats import BPE_MERGES
 
     seqs = [list(tok) for toks in docs_tokens.values() for tok in toks]
-    want = []
+    merges = []
     for step in range(1, BPE_MERGES + 1):
         counts: Counter = Counter()
         for s in seqs:
             for i in range(len(s) - 1):
                 counts[(s[i], s[i + 1])] += 1
         (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        want.append((step, a, b, a + b, n))
+        merges.append((step, a, b, a + b, n))
         for s in seqs:
             i = 0
             while i < len(s) - 1:
                 if s[i] == a and s[i + 1] == b:
                     s[i : i + 2] = [a + b]  # greedy left-to-right
                 i += 1
+    return merges, seqs
+
+
+def test_bpe_merge_learn_matches_python_oracle(spark, docs_tokens):
+    """Third engine for the r5 BPE training loop: the reference merge
+    table (top pair + its count per round) must match the Spark merge
+    table exactly, including left-to-right non-overlapping application."""
+    from ocr_suite_spark.queries.textstats import bpe_merge_learn
+
+    want, _ = _ref_bpe(docs_tokens)
     got = [
         (int(r["step"]), r["left_sym"], r["right_sym"], r["merged"], int(r["n"]))
         for r in bpe_merge_learn(spark, SF).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_encode_stats_matches_python_oracle(spark, docs_tokens):
+    """Third engine for the r5 BPE apply step: encode the corpus with the
+    reference merges and count final symbols — the Spark top-30 (n desc,
+    sym) table must match. Guards that the frequency-weighted dictionary
+    encoding equals per-instance encoding."""
+    from ocr_suite_spark.queries.textstats import BPE_ENCODE_TOP, bpe_encode_stats
+
+    _, seqs = _ref_bpe(docs_tokens)
+    counts: Counter = Counter(sym for s in seqs for sym in s)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_ENCODE_TOP]
+    got = [
+        (r["sym"], int(r["n"]))
+        for r in bpe_encode_stats(spark, SF).orderBy(F.desc("n"), "sym").collect()
     ]
     assert got == want
