@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "media_video_meta",
     "media_video_frames",
     "ann_pq_topk",
+    "dsir_importance",
     # changed in r5: adaptive-K SemDeDup; negated v2 ids; parallel filter
     # materialization; distributed Bloom compile; generalized blocking
     # helpers (knn/cosine share them)
@@ -89,14 +90,17 @@ _PRIORITY: list[str] = [
     "p12_date_format",
     "p23_normalize",
     "p6_word_split_pos",
-    # 23 stalest r3-frozen queries rotated back through grading
-    # (sessionize_gap ceded its rotation slot to the new bpe_encode_stats:
-    # it is r3-proven, body hash-pinned, and carries two dedicated test
-    # files — the strongest independent coverage of any rotation member)
+    # 22 stalest r3-frozen queries rotated back through grading
+    # (sessionize_gap ceded its rotation slot to the new bpe_encode_stats
+    # and quality_gopher_rules ceded its slot to the new dsir_importance:
+    # both are r3-proven, body hash-pinned, and carry the strongest
+    # independent coverage of the rotation set — sessionize_gap two
+    # dedicated test files, quality_gopher_rules a Python third-engine
+    # oracle test PLUS the streaming twin's value-parity test)
     "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
     "bm25_search", "kmeans_2iter", "sample_mixture", "nchars_quantiles",
     "source_divergence", "quality_repetition", "quality_c4_rules",
-    "quality_gopher_rules", "html_main_content", "pdf_layout_parse",
+    "html_main_content", "pdf_layout_parse",
     "dom_text_density", "range_join_nearby",
     "dedup_keep_canonical", "dedup_minhash_signature",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
@@ -109,17 +113,20 @@ _PRIORITY: list[str] = [
 # fixture-pinned relational ops, all with pytest third engines; <= 12 per
 # the VERDICT r3 budget). Bodies are hash-pinned frozen.
 _DEMOTE: list[str] = [
-    # r3-frozen residual (13 — one over the <= 12 budget, disclosed:
+    # r3-frozen residual (14 — two over the <= 12 budget, disclosed:
     # o1_size_ranked_assign ceded its rotation slot to the new ann_pq_topk
-    # — its TRUE-greedy sibling o1_lpt_assign re-grades this round — and
-    # sessionize_gap ceded its slot to the new bpe_encode_stats; unlike
-    # the other 12 it is not a trivial projection, but it has the
-    # strongest pytest coverage of the set: dedicated oracle + plan +
-    # invariants tests plus the streaming twin's value-parity test)
+    # — its TRUE-greedy sibling o1_lpt_assign re-grades this round —
+    # sessionize_gap ceded its slot to the new bpe_encode_stats, and
+    # quality_gopher_rules ceded its slot to the new dsir_importance;
+    # unlike the other 12 those two are not trivial projections, but they
+    # have the strongest pytest coverage of the set: dedicated oracle +
+    # plan + invariants tests, a Python third-engine recomputation of all
+    # four Gopher signals, and each one's streaming twin value-parity test)
     "media_frame_sample", "dedup_exact", "pii_scrub", "chunk_windows",
     "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
     "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
     "j2_hash_id_mint", "o1_size_ranked_assign", "sessionize_gap",
+    "quality_gopher_rules",
     # r4-frozen (36)
     "pack_sequences_tokens", "bpe_pair_counts", "corpus_stats_rollup",
     "pack_sequences", "p7_coord_normalize", "p10_filename_ts",

@@ -699,6 +699,152 @@ BPE_MERGE_SQL = _bpe_merge_sql()
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+# ---------------------------------------------------------------------------
+# DSIR data selection — hashed n-gram importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling" — public).
+# The recipe: featurize every document as a bag of hashed n-grams (word
+# unigrams + bigrams here, the paper's features), estimate a bucket
+# distribution p from the TARGET corpus and q from the RAW corpus (both
+# Laplace-smoothed), and weight each raw document by its log likelihood
+# ratio sum_b c_b(x) * (log p_b - log q_b). High scores = "looks like the
+# target"; resampling by these weights is the selection step. The target
+# here is the corpus' own lang='en' slice (the in-engine analog of the
+# paper's Wikipedia target); raw is the full corpus.
+#
+# Float discipline (module convention, see lm_unigram_score): each bucket's
+# log-ratio is ONE log10 of an exact-integer ratio (both numerator and
+# denominator are BIGINT products, exact in double below 2^53 — holds
+# through sf1), floored onto a 1e-6 grid; the per-doc sum runs as
+# DECIMAL(38,6) (exact), is length-normalized, and floor3'd.
+#
+# Scale: the bucket table is <= DSIR_BUCKETS rows by construction — a
+# broadcast — and the two corpus passes are map-side-combinable
+# aggregations of the gram stream. Nothing is all-pairs; at 10^12 docs the
+# only shuffles are the bucket-count combine and the per-doc aggregation.
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bigrams(toks: "F.Column") -> "F.Column":
+    """Ordered 2-token grams of the normalized token list (shingles_col
+    with K=2; kept local so dedup's K=3 constant stays single-purpose)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document DSIR importance score: length-normalized sum of
+    hashed-n-gram log likelihood ratios against the lang='en' target.
+
+    Scale: one gram-stream aggregation into <= DSIR_BUCKETS rows (both
+    distributions in the SAME groupBy — c_p is just the target-flagged
+    partial sum), 1-row totals broadcast, bucket table broadcast back onto
+    the gram stream, one per-doc aggregation. No window, never all-pairs."""
+    docs = t(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    grams = F.concat(toks, _dsir_bigrams(toks))
+    gb = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
+        F.explode(grams).alias("gm"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("gm")), 1, 8), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    cnt = gb.groupBy("bucket").agg(
+        F.count("*").alias("c_q"), F.sum("is_t").alias("c_p")
+    )
+    tot = cnt.agg(F.sum("c_q").alias("n_q"), F.sum("c_p").alias("n_p"))
+    lam_term = (
+        F.floor(
+            F.log10(
+                ((F.col("c_p") + 1) * (F.col("n_q") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("c_q") + 1) * (F.col("n_p") + DSIR_BUCKETS)).cast("double")
+            )
+            * 1e6
+        )
+        / 1e6
+    )
+    lam = cnt.crossJoin(F.broadcast(tot)).select("bucket", lam_term.alias("lam"))
+    per = (
+        gb.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("lam").cast("decimal(38,6)")).cast("double").alias("s"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(
+                floor3(F.col("s") / F.col("n_grams")), F.lit(0.0)
+            ).alias("dsir_score3"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {DUCK_TOKENS} AS tk FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+         unnest(list_concat(tk, list_transform(
+           generate_series(1, greatest(len(tk) - 1, 0)),
+           i -> tk[i] || ' ' || tk[i+1]))) AS gm
+  FROM tk
+),
+gb AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(gm), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM g
+),
+cnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_q,
+         CAST(SUM(is_t) AS BIGINT) AS c_p
+  FROM gb GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(c_q) AS BIGINT) AS n_q, CAST(SUM(c_p) AS BIGINT) AS n_p
+  FROM cnt
+),
+lam AS (
+  SELECT bucket,
+         FLOOR(log10(CAST((c_p + 1) * (n_q + {DSIR_BUCKETS}) AS DOUBLE)
+                     / CAST((c_q + 1) * (n_p + {DSIR_BUCKETS}) AS DOUBLE))
+               * 1e6) / 1e6 AS lam
+  FROM cnt, tot
+),
+per AS (
+  SELECT gb.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CAST(lam AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM gb JOIN lam USING (bucket)
+  GROUP BY gb.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       COALESCE(FLOOR(per.s / per.n_grams * 1000) / 1000, 0.0) AS dsir_score3
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIRS_SQL),
@@ -710,4 +856,5 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FP_SQL),
     "lm_unigram_score": (lm_unigram_score, LM_UNIGRAM_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "dsir_importance": (dsir_importance, DSIR_SQL),
 }

@@ -249,3 +249,71 @@ def test_bpe_encode_stats_matches_python_oracle(spark, docs_tokens):
         for r in bpe_encode_stats(spark, SF).orderBy(F.desc("n"), "sym").collect()
     ]
     assert got == want
+
+
+def test_dsir_importance_matches_python_oracle(spark, docs_tokens):
+    """Third engine for the r5 DSIR operator: recompute the hashed-n-gram
+    bucket distributions and every document's length-normalized log
+    likelihood ratio in pure Python, and check the lang='en' target slice
+    scores higher on average than the rest (the selection signal DSIR
+    resampling relies on)."""
+    import hashlib
+
+    from ocr_suite_spark.queries.textstats import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        dsir_importance,
+    )
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    c_q: Counter = Counter()
+    c_p: Counter = Counter()
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, toks in docs_tokens.items():
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bs = [bucket(g) for g in grams]
+        doc_buckets[doc_id] = bs
+        c_q.update(bs)
+        if langs[doc_id] == DSIR_TARGET_LANG:
+            c_p.update(bs)
+    n_q = sum(c_q.values())
+    n_p = sum(c_p.values())
+    lam = {
+        b: math.floor(
+            math.log10(
+                (c_p[b] + 1) * (n_q + DSIR_BUCKETS)
+                / ((c_q[b] + 1) * (n_p + DSIR_BUCKETS))
+            )
+            * 1e6
+        )
+        / 1e6
+        for b in c_q
+    }
+
+    by_lang_sum: dict[bool, list[float]] = {True: [], False: []}
+    checked = 0
+    for r in dsir_importance(spark, SF).collect():
+        bs = doc_buckets[r["doc_id"]]
+        assert r["n_grams"] == len(bs)
+        if not bs:
+            assert r["dsir_score3"] == 0.0
+            continue
+        s = sum(lam[b] for b in bs)
+        expect = math.floor(s / len(bs) * 1000) / 1000
+        # 1-ulp transcendental wobble can at worst move one 1e-6-grid term
+        assert abs(r["dsir_score3"] - expect) <= 1e-3 + 1e-9
+        by_lang_sum[langs[r["doc_id"]] == DSIR_TARGET_LANG].append(r["dsir_score3"])
+        checked += 1
+    assert checked > 400
+    mean_t = sum(by_lang_sum[True]) / len(by_lang_sum[True])
+    mean_o = sum(by_lang_sum[False]) / len(by_lang_sum[False])
+    assert mean_t > mean_o  # target docs must look more like the target
