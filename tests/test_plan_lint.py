@@ -31,6 +31,8 @@ SINGLE_PARTITION_OK = {
     "bpe_pair_counts": "50-row exchange above TakeOrderedAndProject (w1 pattern)",
     "dedup_semdedup": "1-row stats aggregate (occupancy-rule sem_bits/step, "
     "blocking.py pattern; the corpus-wide stages are checkpointed upstream)",
+    "dsir_importance": "1-row totals aggregate over the <= DSIR_BUCKETS-row "
+    "(1024) bucket-count relation — model-sized, never corpus-sized",
 }
 
 # Queries allowed a BroadcastNestedLoopJoin — all with a tiny pinned build
@@ -45,6 +47,8 @@ BNLJ_OK = {
     "(bucket-miss fallback only; the main assignment is a bk equi-join)",
     "knn_self_join": "1-row corpus-count broadcast (occupancy bit-width, blocking.py)",
     "dedup_embedding_cosine": "1-row corpus-count broadcast (occupancy bit-width)",
+    "dsir_importance": "1-row gram-totals broadcast crossed with the "
+    "<= DSIR_BUCKETS-row (1024) bucket-count relation (sample_mixture pattern)",
 }
 
 
