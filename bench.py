@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_semdedup",
     "bpe_merge_learn",
     "media_video_meta",
+    # the late-r5 DSIR selection scorer: full gram-stream pass, the
+    # heaviest of the round's text additions
+    "dsir_importance",
 ]
 
 

@@ -749,12 +749,22 @@ def dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     partial sum), 1-row totals broadcast, bucket table broadcast back onto
     the gram stream, one per-doc aggregation. No window, never all-pairs."""
     docs = t(spark, sf, "documents")
-    toks = tokens_col(F.col("text"))
-    grams = F.concat(toks, _dsir_bigrams(toks))
-    gb = docs.select(
+    # Materialize the token array in its OWN projection: _dsir_bigrams
+    # references the array O(n_tokens) times inside a lambda, and Catalyst
+    # does not CSE inside higher-order functions — inlining the regex
+    # tokenizer there re-tokenizes each doc per element (measured 26x on
+    # the gram-stream pass at sf0.1). Multiple references to a non-cheap
+    # alias block CollapseProject, so `tk` stays a bound attribute.
+    base = docs.select(
         "doc_id",
         (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
-        F.explode(grams).alias("gm"),
+        tokens_col(F.col("text")).alias("tk"),
+    )
+    tk = F.col("tk")
+    gb = base.select(
+        "doc_id",
+        "is_t",
+        F.explode(F.concat(tk, _dsir_bigrams(tk))).alias("gm"),
     ).select(
         "doc_id",
         "is_t",
