@@ -56,6 +56,9 @@ HEADLINE = [
     # the late-r5 DSIR selection scorer: full gram-stream pass, the
     # heaviest of the round's text additions
     "dsir_importance",
+    # the late-r5 substring-dedup profile: corpus-wide K-gram duplicate
+    # test + span merge
+    "dedup_substring_spans",
 ]
 
 

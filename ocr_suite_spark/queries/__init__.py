@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "media_video_frames",
     "ann_pq_topk",
     "dsir_importance",
+    "dedup_substring_spans",
     # changed in r5: adaptive-K SemDeDup; negated v2 ids; parallel filter
     # materialization; distributed Bloom compile; generalized blocking
     # helpers (knn/cosine share them)
@@ -90,15 +91,18 @@ _PRIORITY: list[str] = [
     "p12_date_format",
     "p23_normalize",
     "p6_word_split_pos",
-    # 22 stalest r3-frozen queries rotated back through grading
-    # (sessionize_gap ceded its rotation slot to the new bpe_encode_stats
-    # and quality_gopher_rules ceded its slot to the new dsir_importance:
-    # both are r3-proven, body hash-pinned, and carry the strongest
-    # independent coverage of the rotation set — sessionize_gap two
-    # dedicated test files, quality_gopher_rules a Python third-engine
-    # oracle test PLUS the streaming twin's value-parity test)
+    # 21 stalest r3-frozen queries rotated back through grading
+    # (sessionize_gap ceded its rotation slot to the new bpe_encode_stats,
+    # quality_gopher_rules ceded its slot to the new dsir_importance, and
+    # kmeans_2iter ceded its slot to the new dedup_substring_spans: all
+    # three are r3-proven, body hash-pinned, and carry the strongest
+    # independent coverage of the rotation set — dedicated Python
+    # third-engine oracle tests (kmeans: exact integer recompute in
+    # test_clustering_ops.py) plus invariants/streaming-twin tests, and
+    # kmeans_2iter additionally runs in the headline bench and underpins
+    # the r5-graded dedup_semdedup)
     "ann_ivf_multiprobe", "lm_unigram_score", "tfidf_top_terms",
-    "bm25_search", "kmeans_2iter", "sample_mixture", "nchars_quantiles",
+    "bm25_search", "sample_mixture", "nchars_quantiles",
     "source_divergence", "quality_repetition", "quality_c4_rules",
     "html_main_content", "pdf_layout_parse",
     "dom_text_density", "range_join_nearby",
@@ -113,20 +117,23 @@ _PRIORITY: list[str] = [
 # fixture-pinned relational ops, all with pytest third engines; <= 12 per
 # the VERDICT r3 budget). Bodies are hash-pinned frozen.
 _DEMOTE: list[str] = [
-    # r3-frozen residual (14 — two over the <= 12 budget, disclosed:
+    # r3-frozen residual (15 — three over the <= 12 budget, disclosed:
     # o1_size_ranked_assign ceded its rotation slot to the new ann_pq_topk
     # — its TRUE-greedy sibling o1_lpt_assign re-grades this round —
-    # sessionize_gap ceded its slot to the new bpe_encode_stats, and
-    # quality_gopher_rules ceded its slot to the new dsir_importance;
-    # unlike the other 12 those two are not trivial projections, but they
-    # have the strongest pytest coverage of the set: dedicated oracle +
-    # plan + invariants tests, a Python third-engine recomputation of all
-    # four Gopher signals, and each one's streaming twin value-parity test)
+    # sessionize_gap ceded its slot to the new bpe_encode_stats,
+    # quality_gopher_rules ceded its slot to the new dsir_importance, and
+    # kmeans_2iter ceded its slot to the new dedup_substring_spans;
+    # unlike the other 12 those three are not trivial projections, but
+    # they have the strongest pytest coverage of the set: dedicated
+    # oracle + plan + invariants tests, Python third-engine recomputations
+    # (all four Gopher signals; kmeans' exact integer fixed-point), the
+    # streaming twins' value-parity tests, and kmeans_2iter runs in the
+    # headline bench and underpins the r5-graded dedup_semdedup)
     "media_frame_sample", "dedup_exact", "pii_scrub", "chunk_windows",
     "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
     "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
     "j2_hash_id_mint", "o1_size_ranked_assign", "sessionize_gap",
-    "quality_gopher_rules",
+    "quality_gopher_rules", "kmeans_2iter",
     # r4-frozen (36)
     "pack_sequences_tokens", "bpe_pair_counts", "corpus_stats_rollup",
     "pack_sequences", "p7_coord_normalize", "p10_filename_ts",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import DUCK_TOKENS, t, tokens_col
+from .common import DUCK_TOKENS, floor3, t, tokens_col
 
 N_MINHASH = 8
 N_BANDS = 2  # 4 rows per band
@@ -714,6 +714,132 @@ FROM c JOIN k USING (canon_url)
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-document duplicated-substring PROFILE (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better" — public).
+# dedup_passages above emits the REMOVAL LIST (cross-doc duplicated
+# 3-shingle runs); this operator is its filter-feature complement: per doc,
+# how much of it is duplicated anywhere in the corpus — the signal a
+# curation pass thresholds to DROP boilerplate-heavy docs instead of
+# cutting spans. Differences from dedup_passages, all deliberate: K=8
+# grams (the paper's longer-context regime), the duplicate test counts
+# TOTAL occurrences (within-doc repeats count — a doc repeating its own
+# paragraph is boilerplate too), and duplicated windows merge by OVERLAP
+# (gap <= K), Lee et al.'s span union at K-bounded resolution — the
+# standard distributed trade for the suffix array, disclosed.
+#
+# Scale: one posexplode + one doc_id window build the gram stream (the
+# tokenizer runs ONCE per doc — shingle_rows pattern; never inline a
+# derived array into a lambda); the duplicate test is a map-side-combined
+# COUNT on md5(gram) with the join back co-partitioned on the same key;
+# span merging is doc_id-local. Never all-pairs, no driver action.
+
+SUBSTR_K = 8
+
+
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-substring profile: of the n_grams K-token
+    grams, how many start positions are corpus-duplicated (n_dup_grams),
+    how many maximal duplicated spans they merge into (n_dup_spans —
+    windows closer than K tokens overlap/touch and merge), and the
+    duplicated fraction (floor3). Reference analog: the dictionary-side
+    duplicate test of A4 (database.cpp:62-67) applied at span rather than
+    document granularity."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    last = F.lead("tok", SUBSTR_K - 1).over(w)
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, SUBSTR_K - 1)
+    ] + [last]
+    g = (
+        tk.select(
+            "doc_id", "pos", F.concat_ws(" ", *parts).alias("gm"), last.alias("_t")
+        )
+        .where(F.col("_t").isNotNull())
+        .select("doc_id", "pos", F.md5("gm").alias("gh"))
+    )
+    cnt = g.groupBy("gh").agg(F.count("*").alias("c"))
+    dup = g.join(cnt.where(F.col("c") > 1).select("gh"), "gh").select("doc_id", "pos")
+    per_g = g.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    prev = F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+    per_d = (
+        dup.select(
+            "doc_id",
+            "pos",
+            (prev.isNull() | (F.col("pos") - prev > SUBSTR_K)).cast("long").alias(
+                "new_span"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.sum("new_span").cast("long").alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_g, "doc_id", "left")
+        .join(per_d, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce(
+                floor3(F.col("n_dup_grams") / F.col("n_grams")), F.lit(0.0)
+            ).alias("dup_frac3"),
+        )
+    )
+
+
+_DUCK_KGRAM = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(SUBSTR_K))
+
+DEDUP_SUBSTR_SQL = f"""
+WITH tkl AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(tk) - {SUBSTR_K - 1}, 0))) AS pos,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tk) - {SUBSTR_K - 1}, 0)),
+           i -> {_DUCK_KGRAM})) AS gm
+  FROM tkl
+),
+gh AS (SELECT doc_id, pos, md5(gm) AS gh FROM g),
+c AS (SELECT gh, COUNT(*) AS c FROM gh GROUP BY gh),
+d AS (SELECT gh.doc_id, gh.pos FROM gh JOIN c USING (gh) WHERE c.c > 1),
+sp AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM d
+),
+per_d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_K}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM sp GROUP BY doc_id
+),
+per_g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM gh GROUP BY doc_id)
+SELECT docs.doc_id,
+       COALESCE(per_g.n_grams, 0) AS n_grams,
+       COALESCE(per_d.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(per_d.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(FLOOR(per_d.n_dup_grams * 1.0 / per_g.n_grams * 1000) / 1000, 0.0)
+         AS dup_frac3
+FROM documents docs
+LEFT JOIN per_g ON docs.doc_id = per_g.doc_id
+LEFT JOIN per_d ON docs.doc_id = per_d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
@@ -725,4 +851,5 @@ QUERIES = {
     "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTR_SQL),
 }

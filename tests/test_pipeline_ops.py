@@ -317,3 +317,46 @@ def test_dsir_importance_matches_python_oracle(spark, docs_tokens):
     mean_t = sum(by_lang_sum[True]) / len(by_lang_sum[True])
     mean_o = sum(by_lang_sum[False]) / len(by_lang_sum[False])
     assert mean_t > mean_o  # target docs must look more like the target
+
+
+def test_dedup_substring_spans_matches_python_oracle(spark, docs_tokens):
+    """Third engine for the r5 substring-dedup operator: recompute every
+    document's duplicated K-gram positions and merged spans in pure Python
+    (Lee et al. 2021 semantics at K-bounded resolution) and compare
+    exactly; the corpus must actually exercise the duplicate branch."""
+    from ocr_suite_spark.queries.dedup import SUBSTR_K, dedup_substring_spans
+
+    gram_count: Counter = Counter()
+    doc_grams: dict[int, list[str]] = {}
+    for doc_id, toks in docs_tokens.items():
+        gs = [
+            " ".join(toks[i : i + SUBSTR_K])
+            for i in range(len(toks) - SUBSTR_K + 1)
+        ]
+        doc_grams[doc_id] = gs
+        gram_count.update(gs)
+
+    dup_docs = 0
+    merged_multi = 0
+    for r in dedup_substring_spans(spark, SF).collect():
+        gs = doc_grams[r["doc_id"]]
+        dup_pos = [i for i, g in enumerate(gs) if gram_count[g] > 1]
+        spans = 0
+        prev = None
+        for p in dup_pos:
+            if prev is None or p - prev > SUBSTR_K:
+                spans += 1
+            prev = p
+        assert r["n_grams"] == len(gs)
+        assert r["n_dup_grams"] == len(dup_pos)
+        assert r["n_dup_spans"] == spans
+        expect = (
+            math.floor(len(dup_pos) / len(gs) * 1000) / 1000 if gs else 0.0
+        )
+        assert r["dup_frac3"] == expect
+        if dup_pos:
+            dup_docs += 1
+        if len(dup_pos) > spans:
+            merged_multi += 1
+    assert dup_docs > 5  # the corpus must contain cross-doc duplication
+    assert merged_multi > 0  # and overlapping windows must actually merge
