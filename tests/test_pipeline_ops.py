@@ -360,3 +360,36 @@ def test_dedup_substring_spans_matches_python_oracle(spark, docs_tokens):
             merged_multi += 1
     assert dup_docs > 5  # the corpus must contain cross-doc duplication
     assert merged_multi > 0  # and overlapping windows must actually merge
+
+
+def test_dedup_substring_spans_merge_boundary(spark, tmp_path):
+    """Pin the span-merge boundary exactly: duplicated window starts at
+    gap == SUBSTR_K merge into one span (the windows touch), gap ==
+    SUBSTR_K + 1 split into two. Crafted corpus: C = the shared 8-gram;
+    docs A/B carry one copy each (cross-doc dup), D carries two copies
+    back-to-back (gap K), E two copies split by one token (gap K+1),
+    F is too short to produce any gram."""
+    from ocr_suite_spark.queries.dedup import SUBSTR_K, dedup_substring_spans
+
+    assert SUBSTR_K == 8  # the crafted layouts below encode K=8
+    c = [f"caa{i}" for i in range(8)]
+    docs = [
+        (1, " ".join(c + [f"uqz{i}" for i in range(10)])),   # A
+        (2, " ".join(c + [f"vqz{i}" for i in range(10)])),   # B
+        (3, " ".join(c + c)),                                 # D: gap K
+        (4, " ".join(c + ["xqz0"] + c)),                      # E: gap K+1
+        (5, "short doc"),                                     # F: no gram
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["n_dup_spans"], r["dup_frac3"])
+        for r in dedup_substring_spans(spark, sf).collect()
+    }
+    assert got[1] == (11, 1, 1, math.floor(1 / 11 * 1000) / 1000)
+    assert got[2] == (11, 1, 1, math.floor(1 / 11 * 1000) / 1000)
+    assert got[3] == (9, 2, 1, math.floor(2 / 9 * 1000) / 1000)   # touching: merge
+    assert got[4] == (10, 2, 2, math.floor(2 / 10 * 1000) / 1000)  # gap K+1: split
+    assert got[5] == (0, 0, 0, 0.0)
